@@ -27,7 +27,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from alphazero_gomoku_tpu.ops.lines import wins_at
+from alphazero_gomoku_tpu.ops.lines import full_board_winner, wins_at
 
 
 class GomokuState(NamedTuple):
@@ -74,6 +74,30 @@ class GomokuEnv:
     def init_batch(self, batch: int) -> GomokuState:
         return jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (batch,) + x.shape), self.init()
+        )
+
+    def from_board(self, board, to_move, move_count=None) -> GomokuState:
+        """Reconstruct a state from a raw board (no history available).
+
+        Winner is recovered by full-board line scan; ``last_action`` is
+        unknown (-1).  This is the device analogue of the reference players
+        rebuilding a game from the passed board (``players/player.py:59-71``).
+        """
+        board = jnp.asarray(board, jnp.int8)
+        to_move = jnp.asarray(to_move, jnp.int32)
+        stones = jnp.sum((board != 0).astype(jnp.int32))
+        move_count = (
+            stones if move_count is None else jnp.asarray(move_count, jnp.int32)
+        )
+        winner = full_board_winner(board)
+        done = (winner != 0) | (stones >= self.num_actions)
+        return GomokuState(
+            board=board,
+            to_move=to_move,
+            last_action=jnp.int32(-1),
+            move_count=move_count,
+            winner=winner,
+            done=done,
         )
 
     # ------------------------------------------------------------------

@@ -24,7 +24,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from alphazero_gomoku_tpu.ops.lines import wins_at
+from alphazero_gomoku_tpu.ops.lines import full_board_winner, wins_at
 
 # All 8 rays used for capture detection.
 CAPTURE_DIRS = (
@@ -78,6 +78,37 @@ class PenteEnv:
     def init_batch(self, batch: int) -> PenteState:
         return jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (batch,) + x.shape), self.init()
+        )
+
+    def from_board(self, board, to_move, captures=(0, 0),
+                   move_count=None) -> PenteState:
+        """Reconstruct a state from a raw board + capture counts.
+
+        Winner recovery checks capture thresholds for both players and falls
+        back to a full-board line scan (no last-move hint available).
+        """
+        board = jnp.asarray(board, jnp.int8)
+        to_move = jnp.asarray(to_move, jnp.int32)
+        captures = jnp.asarray(captures, jnp.int32)
+        stones = jnp.sum((board != 0).astype(jnp.int32))
+        move_count = (
+            stones if move_count is None else jnp.asarray(move_count, jnp.int32)
+        )
+        line_winner = full_board_winner(board)
+        cap1 = captures[0] >= self.pairs_to_win
+        cap2 = captures[1] >= self.pairs_to_win
+        winner = jnp.where(
+            cap1, 1, jnp.where(cap2, 2, line_winner)
+        ).astype(jnp.int32)
+        done = (winner != 0) | jnp.all(board != 0)
+        return PenteState(
+            board=board,
+            to_move=to_move,
+            last_action=jnp.int32(-1),
+            move_count=move_count,
+            winner=winner,
+            done=done,
+            captures=captures,
         )
 
     # ------------------------------------------------------------------

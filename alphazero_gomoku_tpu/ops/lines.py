@@ -10,6 +10,7 @@ data-dependent control flow, vmap-friendly.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 # Line axes for n-in-a-row checks: vertical, horizontal, two diagonals.
@@ -51,3 +52,33 @@ def run_length_through(board: jnp.ndarray, r, c, player, need: int = 5):
 def wins_at(board: jnp.ndarray, r, c, player, need: int = 5):
     """True iff placing/being at (r, c) gives ``player`` an n-in-a-row."""
     return run_length_through(board, r, c, player, need) >= need
+
+
+def has_line(board: jnp.ndarray, player, need: int = 5):
+    """Full-board n-in-a-row check for ``player`` (no last-move hint).
+
+    Shift-and-AND over the 4 line axes: a run of ``need`` exists iff the AND
+    of ``need`` progressively shifted copies of the player mask is nonempty.
+    Used when reconstructing a state from a raw board (e.g. the player plugin
+    protocol hands over boards without history).
+    """
+    h, w = board.shape
+    mine = board == player
+    found = jnp.bool_(False)
+    pad = need - 1
+    big = jnp.zeros((h + 2 * pad, w + 2 * pad), jnp.bool_).at[
+        pad:pad + h, pad:pad + w].set(mine)
+    for dr, dc in LINE_DIRS:
+        acc = jnp.ones((h, w), jnp.bool_)
+        for k in range(need):
+            r0, c0 = pad + k * dr, pad + k * dc
+            acc = acc & jax.lax.slice(big, (r0, c0), (r0 + h, c0 + w))
+        found = found | jnp.any(acc)
+    return found
+
+
+def full_board_winner(board: jnp.ndarray, need: int = 5):
+    """int32 winner (0/1/2) from a raw board by exhaustive line scan."""
+    w1 = has_line(board, jnp.int8(1), need)
+    w2 = has_line(board, jnp.int8(2), need)
+    return jnp.where(w1, 1, jnp.where(w2, 2, 0)).astype(jnp.int32)

@@ -1,0 +1,293 @@
+"""NN-guided PUCT MCTS as an array tree in HBM (mctx-style), batched over games.
+
+TPU re-design of the reference's dict-of-arrays transposition-table search
+(``/root/reference/mcts/new_mcts_alpha.py``): nodes live in preallocated
+``[max_nodes, ...]`` arrays; one simulation = jitted select -> expand ->
+batched NN evaluate -> backup, with ``lax.while_loop`` tree walks and no host
+round-trips.  ``vmap`` runs B independent game trees in lockstep so every
+simulation step feeds the network a B-sized leaf batch.
+
+Search semantics matched to the reference:
+  - PUCT score ``W/(1+N) + cpuct * P * sqrt(sum N)/(1+N)`` with illegal
+    actions at -1e9 (``new_mcts_alpha.py:136-140``); ties resolve to the
+    lowest action index (numpy argmax convention).
+  - priors = softmax policy masked to legal moves and renormalized; uniform
+    over legal if the masked sum vanishes (``new_mcts_alpha.py:163-168``).
+  - root-only Dirichlet noise over the full action vector, gated on
+    ``move_number < dirichlet_moves`` (``new_mcts_alpha.py:170-174``).
+  - terminal value is 0 for draws and -1 for the side to move otherwise
+    (``new_mcts_alpha.py:106-112``).
+  - final policy = root visit counts / total, uniform-over-legal fallback
+    (``new_mcts_alpha.py:88-97``).
+
+Conscious deltas from the reference (documented for the decision log):
+  - no transposition table: transposed paths get distinct nodes.  The
+    reference's table is a cache keyed on (board, player) over an
+    otherwise-identical search; the array tree drops it for O(1) addressing.
+  - leaves are evaluated by the network immediately (the lockstep game batch
+    IS the leaf batch) instead of the reference's queue-until-32-leaves with
+    uniform-prior placeholders (``new_mcts_alpha.py:116-132``) — strictly
+    fresher priors, same batching effect.
+  - the root is evaluated exactly at tree init rather than via the queue.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9
+
+
+@dataclasses.dataclass(frozen=True)
+class MCTSConfig:
+    n_simulations: int
+    cpuct: float = 1.0
+    dirichlet_alpha: float = 0.03
+    dirichlet_epsilon: float = 0.03
+    dirichlet_moves: int = 10
+    add_noise: bool = True
+    max_nodes: Optional[int] = None  # default: n_simulations + 1
+
+    @property
+    def node_capacity(self) -> int:
+        return self.max_nodes or (self.n_simulations + 1)
+
+
+class Tree(NamedTuple):
+    """Array tree for ONE game; batch via vmap (adds a leading axis)."""
+
+    states: Any          # env-state pytree stacked to [N, ...]
+    prior: jax.Array     # f32 [N, A]
+    visit: jax.Array     # f32 [N, A]
+    total_w: jax.Array   # f32 [N, A]
+    legal: jax.Array     # bool [N, A]
+    children: jax.Array  # i32 [N, A], -1 = unexpanded
+    parent: jax.Array    # i32 [N], -1 at root
+    parent_action: jax.Array  # i32 [N]
+    node_count: jax.Array     # i32 scalar
+
+
+EvalFn = Callable[[Any, jax.Array], Tuple[jax.Array, jax.Array]]
+# eval_fn(net_params, obs [B, H, W, C]) -> (policy_probs [B, A], value [B] or [B, 1])
+
+
+# ----------------------------------------------------------------------
+# helpers (single game; callers vmap)
+# ----------------------------------------------------------------------
+def _masked_priors(probs: jax.Array, legal: jax.Array) -> jax.Array:
+    """Mask priors to legal moves; renormalize; uniform-over-legal fallback."""
+    p = probs * legal
+    total = jnp.sum(p)
+    n_legal = jnp.maximum(jnp.sum(legal), 1.0)
+    uniform = legal / n_legal
+    return jnp.where(total < 1e-8, uniform, p / jnp.maximum(total, 1e-30))
+
+
+def _puct_scores(tree: Tree, node, cpuct: float) -> jax.Array:
+    n = tree.visit[node]
+    w = tree.total_w[node]
+    p = tree.prior[node]
+    legal = tree.legal[node]
+    sqrt_sum = jnp.sqrt(jnp.sum(n))
+    scores = w / (1.0 + n) + cpuct * p * sqrt_sum / (1.0 + n)
+    return jnp.where(legal, scores, NEG_INF)
+
+
+def _write_node(tree: Tree, idx, state, legal) -> Tree:
+    states = jax.tree_util.tree_map(
+        lambda stack, s: stack.at[idx].set(s), tree.states, state
+    )
+    return tree._replace(states=states, legal=tree.legal.at[idx].set(legal))
+
+
+def _node_state(tree: Tree, idx):
+    return jax.tree_util.tree_map(lambda stack: stack[idx], tree.states)
+
+
+# ----------------------------------------------------------------------
+# phases
+# ----------------------------------------------------------------------
+def _select_and_expand(env, cfg: MCTSConfig, tree: Tree):
+    """Walk PUCT argmax to an unexpanded edge or a terminal node; allocate.
+
+    Returns (tree, leaf_index).
+    """
+
+    def cond(carry):
+        node, _, stop = carry
+        return ~stop
+
+    def body(carry):
+        node, _, _ = carry
+        done = tree.states.done[node]
+        scores = _puct_scores(tree, node, cfg.cpuct)
+        action = jnp.argmax(scores).astype(jnp.int32)
+        child = tree.children[node, action]
+        # stop when: terminal node, or chosen edge has no child yet
+        stop_here = done | (child == -1)
+        nxt = jnp.where(stop_here, node, child)
+        return (nxt, jnp.where(done, -1, action), stop_here)
+
+    node, action, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(-1), jnp.bool_(False))
+    )
+
+    expanding = action >= 0  # False when we stopped on a terminal node
+    new_idx = tree.node_count
+    safe_action = jnp.maximum(action, 0)
+    parent_state = _node_state(tree, node)
+    child_state = env.step(parent_state, safe_action)
+    child_legal = env.legal_mask(child_state)
+
+    # Predicated write: on non-expansion, overwrite the unused slot with the
+    # parent's state (slot stays unused because node_count is not advanced).
+    write_state = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(expanding, a, b), child_state, parent_state
+    )
+    tree = _write_node(tree, new_idx, write_state, child_legal)
+    tree = tree._replace(
+        children=tree.children.at[node, safe_action].set(
+            jnp.where(expanding, new_idx, tree.children[node, safe_action])
+        ),
+        parent=tree.parent.at[new_idx].set(
+            jnp.where(expanding, node, tree.parent[new_idx])
+        ),
+        parent_action=tree.parent_action.at[new_idx].set(
+            jnp.where(expanding, action, tree.parent_action[new_idx])
+        ),
+        node_count=tree.node_count + expanding.astype(jnp.int32),
+    )
+    leaf = jnp.where(expanding, new_idx, node)
+    return tree, leaf
+
+
+def _apply_eval_and_backup(env, tree: Tree, leaf, probs, value) -> Tree:
+    """Store NN priors at the leaf (if non-terminal) and back up the value."""
+    leaf_state = _node_state(tree, leaf)
+    terminal = leaf_state.done
+    leaf_value = jnp.where(
+        terminal, env.terminal_value(leaf_state), value
+    ).astype(jnp.float32)
+
+    priors = _masked_priors(probs, tree.legal[leaf].astype(probs.dtype))
+    tree = tree._replace(
+        prior=tree.prior.at[leaf].set(
+            jnp.where(terminal, tree.prior[leaf], priors)
+        )
+    )
+
+    # walk to the root, flipping perspective at each hop
+    def cond(carry):
+        node, _, _, _ = carry
+        return tree.parent[node] != -1
+
+    def body(carry):
+        node, v, visit, total_w = carry
+        p = tree.parent[node]
+        a = tree.parent_action[node]
+        v = -v
+        return (p, v, visit.at[p, a].add(1.0), total_w.at[p, a].add(v))
+
+    _, _, visit, total_w = jax.lax.while_loop(
+        cond, body, (leaf, leaf_value, tree.visit, tree.total_w)
+    )
+    return tree._replace(visit=visit, total_w=total_w)
+
+
+# ----------------------------------------------------------------------
+# entry point
+# ----------------------------------------------------------------------
+def init_tree(env, cfg: MCTSConfig, root_state) -> Tree:
+    """Allocate a tree (single game) with the root written at slot 0."""
+    n = cfg.node_capacity
+    a = env.num_actions
+    stack = jax.tree_util.tree_map(
+        lambda x: jnp.zeros((n,) + x.shape, x.dtype), root_state
+    )
+    tree = Tree(
+        states=stack,
+        prior=jnp.zeros((n, a), jnp.float32),
+        visit=jnp.zeros((n, a), jnp.float32),
+        total_w=jnp.zeros((n, a), jnp.float32),
+        legal=jnp.zeros((n, a), jnp.bool_),
+        children=jnp.full((n, a), -1, jnp.int32),
+        parent=jnp.full((n,), -1, jnp.int32),
+        parent_action=jnp.full((n,), -1, jnp.int32),
+        node_count=jnp.int32(1),
+    )
+    return _write_node(tree, 0, root_state, env.legal_mask(root_state))
+
+
+def run_mcts(
+    env,
+    cfg: MCTSConfig,
+    eval_fn: EvalFn,
+    net_params,
+    root_states,
+    move_numbers,
+    rng: jax.Array,
+) -> jax.Array:
+    """Batched MCTS: returns the visit-count policy ``pi [B, A]``.
+
+    Args:
+        env: functional game env (static).
+        cfg: search configuration (static).
+        eval_fn: network forward (static); sees the whole [B] leaf batch.
+        net_params: network parameter pytree (dynamic).
+        root_states: env-state pytree with leading batch axis [B].
+        move_numbers: i32 [B] current move number per game (Dirichlet gate).
+        rng: PRNG key.
+
+    All of this compiles to a single XLA program; no host round-trips.
+    """
+    batch = root_states.done.shape[0]
+    a = env.num_actions
+
+    trees = jax.vmap(lambda s: init_tree(env, cfg, s))(root_states)
+
+    # --- root evaluation (+ optional Dirichlet noise) -------------------
+    root_obs = jax.vmap(env.encode)(root_states)
+    root_probs, _ = eval_fn(net_params, root_obs)
+    root_probs = root_probs.reshape(batch, a)
+    root_legal = jax.vmap(lambda t: t.legal[0])(trees).astype(root_probs.dtype)
+    priors = jax.vmap(_masked_priors)(root_probs, root_legal)
+
+    if cfg.add_noise:
+        rng, sub = jax.random.split(rng)
+        noise = jax.random.dirichlet(
+            sub, jnp.full((a,), cfg.dirichlet_alpha, jnp.float32), (batch,)
+        )
+        noised = (1.0 - cfg.dirichlet_epsilon) * priors + cfg.dirichlet_epsilon * noise
+        noised = noised / jnp.sum(noised, axis=-1, keepdims=True)
+        gate = (move_numbers < cfg.dirichlet_moves)[:, None]
+        priors = jnp.where(gate, noised, priors)
+
+    trees = trees._replace(prior=trees.prior.at[:, 0, :].set(priors))
+
+    # --- simulations ----------------------------------------------------
+    def one_sim(trees, _):
+        trees, leaves = jax.vmap(
+            lambda t: _select_and_expand(env, cfg, t)
+        )(trees)
+        obs = jax.vmap(lambda t, l: env.encode(_node_state(t, l)))(trees, leaves)
+        probs, values = eval_fn(net_params, obs)
+        probs = probs.reshape(batch, a)
+        values = values.reshape(batch)
+        trees = jax.vmap(
+            lambda t, l, p, v: _apply_eval_and_backup(env, t, l, p, v)
+        )(trees, leaves, probs, values)
+        return trees, None
+
+    trees, _ = jax.lax.scan(one_sim, trees, None, length=cfg.n_simulations)
+
+    # --- visit-count policy --------------------------------------------
+    counts = trees.visit[:, 0, :]
+    totals = jnp.sum(counts, axis=-1, keepdims=True)
+    legal = trees.legal[:, 0, :].astype(jnp.float32)
+    uniform = legal / jnp.maximum(jnp.sum(legal, axis=-1, keepdims=True), 1.0)
+    pi = jnp.where(totals > 0, counts / jnp.maximum(totals, 1e-30), uniform)
+    return pi

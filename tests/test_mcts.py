@@ -1,0 +1,215 @@
+"""MCTS tests: invariants + exact differential test vs a host oracle.
+
+The oracle is a straightforward object-tree PUCT search with the same
+semantics as the device code (immediate leaf evaluation, no transposition
+table, float32 score math) so that with an integer-exact deterministic fake
+network both searches must produce IDENTICAL visit counts.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from alphazero_gomoku_tpu.games.gomoku import GomokuEnv
+from alphazero_gomoku_tpu.games.host import Gomoku
+from alphazero_gomoku_tpu.search import MCTSConfig, run_mcts
+
+SIZE = 7
+A = SIZE * SIZE
+
+
+# ----------------------------------------------------------------------
+# integer-exact fake network (identical math host/device)
+# ----------------------------------------------------------------------
+def fake_probs_np(stones: int) -> np.ndarray:
+    a = np.arange(A, dtype=np.float32)
+    raw = 1.0 + np.float32((7.0 * a + stones) % 11.0)
+    return (raw / np.float32(raw.sum())).astype(np.float32)
+
+
+def fake_value_np(stones: int) -> np.float32:
+    return np.float32((((stones * 3) % 5) - 2) / 4.0)
+
+
+def fake_eval_jax(params, obs):
+    del params
+    b = obs.shape[0]
+    stones = jnp.sum(obs[..., 0], axis=(1, 2)) + jnp.sum(obs[..., 1], axis=(1, 2))
+    a = jnp.arange(A, dtype=jnp.float32)[None, :]
+    raw = 1.0 + jnp.mod(7.0 * a + stones[:, None], 11.0)
+    probs = raw / jnp.sum(raw, axis=-1, keepdims=True)
+    value = (jnp.mod(stones * 3.0, 5.0) - 2.0) / 4.0
+    return probs, value.reshape(b, 1)
+
+
+# ----------------------------------------------------------------------
+# host oracle (float32 PUCT, no transpositions)
+# ----------------------------------------------------------------------
+class _Node:
+    __slots__ = ("game", "prior", "visit", "w", "legal", "children")
+
+    def __init__(self, game):
+        self.game = game
+        self.legal = game.get_valid_moves().astype(np.float32)
+        stones = int((game.board != 0).sum())
+        if game.is_game_over():
+            self.prior = np.zeros(A, np.float32)
+        else:
+            p = fake_probs_np(stones) * self.legal
+            total = p.sum(dtype=np.float32)
+            self.prior = (p / total).astype(np.float32)
+        self.visit = np.zeros(A, np.float32)
+        self.w = np.zeros(A, np.float32)
+        self.children = {}
+
+
+def oracle_mcts(root_game, n_sims, cpuct):
+    """Object-tree PUCT with device-matching semantics (float32 math)."""
+    cpuct = np.float32(cpuct)
+    root = _Node(root_game.clone())
+    for _ in range(n_sims):
+        node, path = root, []
+        while True:
+            if node.game.is_game_over():
+                break
+            n, w, p = node.visit, node.w, node.prior
+            sqrt_sum = np.float32(np.sqrt(np.float32(n.sum(dtype=np.float32))))
+            scores = w / (np.float32(1.0) + n) + cpuct * p * sqrt_sum / (np.float32(1.0) + n)
+            scores = np.where(node.legal == 1.0, scores, np.float32(-1e9))
+            a = int(np.argmax(scores))
+            new = a not in node.children
+            if new:
+                g = node.game.clone()
+                g.do_move(divmod(a, SIZE))
+                node.children[a] = _Node(g)
+            path.append((node, a))
+            node = node.children[a]
+            if new:
+                break
+        if node.game.is_game_over():
+            v = np.float32(0.0 if node.game.get_winner() == 0 else -1.0)
+        else:
+            v = fake_value_np(int((node.game.board != 0).sum()))
+        for parent, a in reversed(path):
+            v = np.float32(-v)
+            parent.w[a] += v
+            parent.visit[a] += np.float32(1.0)
+    total = root.visit.sum(dtype=np.float32)
+    return (root.visit / total).astype(np.float32)
+
+
+# ----------------------------------------------------------------------
+# device-side runner
+# ----------------------------------------------------------------------
+def device_mcts(host_games, n_sims, cpuct=1.25, noise=False, move_numbers=None,
+                seed=0, epsilon=0.25):
+    env = GomokuEnv(SIZE)
+    cfg = MCTSConfig(n_simulations=n_sims, cpuct=cpuct, add_noise=noise,
+                     dirichlet_alpha=0.3, dirichlet_epsilon=epsilon,
+                     dirichlet_moves=10)
+
+    def to_state(g):
+        return env.from_board(
+            g.board, g.current_player, move_count=len(g.move_history)
+        )
+
+    states = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[to_state(g) for g in host_games]
+    )
+    moves = (
+        jnp.asarray(move_numbers, jnp.int32)
+        if move_numbers is not None
+        else jnp.asarray([len(g.move_history) for g in host_games], jnp.int32)
+    )
+    run = jax.jit(
+        lambda st, mv, key: run_mcts(env, cfg, fake_eval_jax, None, st, mv, key)
+    )
+    return np.asarray(run(states, moves, jax.random.PRNGKey(seed)))
+
+
+def random_position(seed, n_moves):
+    rng = np.random.default_rng(seed)
+    g = Gomoku(SIZE)
+    for _ in range(n_moves):
+        if g.is_game_over():
+            break
+        legal = np.nonzero(g.get_valid_moves())[0]
+        g.do_move(divmod(int(rng.choice(legal)), SIZE))
+    return g
+
+
+@pytest.mark.parametrize("n_sims", [8, 48])
+def test_matches_oracle_exactly(n_sims):
+    games = [random_position(s, m) for s, m in
+             [(0, 0), (1, 3), (2, 8), (3, 15), (4, 24), (5, 5)]]
+    got = device_mcts(games, n_sims, cpuct=1.25, noise=False)
+    for i, g in enumerate(games):
+        want = oracle_mcts(g, n_sims, 1.25)
+        np.testing.assert_array_equal(
+            got[i], want, err_msg=f"game {i} diverged from oracle"
+        )
+
+
+def test_visit_sum_and_legality():
+    games = [random_position(7, 6), random_position(8, 11)]
+    n_sims = 32
+    pi = device_mcts(games, n_sims)
+    np.testing.assert_allclose(pi.sum(axis=1), 1.0, atol=1e-5)
+    for i, g in enumerate(games):
+        legal = g.get_valid_moves()
+        assert (pi[i][legal == 0.0] == 0.0).all(), "pi leaked onto illegal moves"
+
+
+def test_finds_immediate_win():
+    g = Gomoku(SIZE)
+    # P1 has four in a row at (3, 0..3); P2 scattered; P1 to move
+    for k in range(4):
+        g.do_move((3, k))
+        g.do_move((6, k))
+    assert g.current_player == 1
+    pi = device_mcts([g], 200, cpuct=1.25)
+    assert int(np.argmax(pi[0])) == 3 * SIZE + 4, "search missed the winning move"
+    assert pi[0][3 * SIZE + 4] > 0.5
+
+
+def test_dirichlet_gate():
+    g = random_position(11, 4)
+    base = device_mcts([g], 16, noise=False, epsilon=0.95)
+    noised_on = device_mcts([g], 16, noise=True, move_numbers=[0], seed=3,
+                            epsilon=0.95)
+    noised_off = device_mcts([g], 16, noise=True, move_numbers=[50], seed=3,
+                             epsilon=0.95)
+    # past the gate, noise flag must have no effect
+    np.testing.assert_array_equal(noised_off[0], base[0])
+    # inside the gate the distribution must actually change
+    assert not np.array_equal(noised_on[0], base[0])
+
+
+def test_terminal_root_returns_zero_policy():
+    """Searching a finished game yields an all-zero policy (callers never
+    should; the reference outright crashes here — KeyError in run())."""
+    g = Gomoku(SIZE)
+    for k in range(4):
+        g.do_move((3, k))
+        g.do_move((6, k))
+    g.do_move((3, 4))  # P1 wins; game over, P2 "to move"
+    assert g.is_game_over()
+    pi = device_mcts([g], 8)
+    assert (pi[0] == 0.0).all()
+
+
+def test_from_board_reconstruction():
+    env = GomokuEnv(SIZE)
+    g = random_position(21, 9)
+    st = env.from_board(g.board, g.current_player)
+    assert int(st.winner) == g.get_winner()
+    assert bool(st.done) == g.is_game_over()
+    # and on a finished board
+    g2 = Gomoku(SIZE)
+    for k in range(4):
+        g2.do_move((2, k))
+        g2.do_move((5, k))
+    g2.do_move((2, 4))
+    st2 = env.from_board(g2.board, g2.current_player)
+    assert int(st2.winner) == 1 and bool(st2.done)
