@@ -1,0 +1,83 @@
+"""CLI match runner: ``python play.py <player1> <player2> [--game pente]``.
+
+Equivalent of the reference's ``play.py`` (C1 in SURVEY.md §2): dynamic
+player loading by module name, a turn loop with per-move timing and
+invalid-move retry, coloured board rendering and a winner announcement.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from alphazero_gomoku_tpu.games import make_host_game
+from alphazero_gomoku_tpu.players import load_player
+
+RED, BLUE, RESET = "\033[31m", "\033[34m", "\033[0m"
+
+
+def run_match(player1_name: str, player2_name: str, game_name: str = "gomoku",
+              size: int = 15, max_retries_per_turn: int = 20) -> int:
+    """Play one match; returns the winner (0/1/2)."""
+    game = make_host_game(game_name, size)
+    players = {
+        1: load_player(player1_name, game_name, size),
+        2: load_player(player2_name, game_name, size),
+    }
+    print(f"\nStarting {game_name.capitalize()}")
+    print(f"{RED}●{RESET} player 1: {player1_name}")
+    print(f"{BLUE}●{RESET} player 2: {player2_name}\n")
+    game.display()
+
+    turn_number = 0
+    while not game.is_game_over():
+        turn_number += 1
+        player = players[game.current_player]
+        for _ in range(max_retries_per_turn):
+            t0 = time.time()
+            try:
+                move = player.play(game.clone(), turn_number, game.last_move)
+            except Exception as e:
+                print(f"player {game.current_player} raised: {e}")
+                continue
+            print(f"  think time: {time.time() - t0:.2f}s")
+            if move is None:
+                print("player resigned / gave no move")
+                return 3 - game.current_player
+            if game.do_move(move):
+                break
+            print(f"illegal move {move}; retrying")
+        else:
+            print(f"player {game.current_player} failed to produce a legal "
+                  "move; forfeits")
+            return 3 - game.current_player
+        game.display()
+
+    print("\nfinal position:")
+    game.display()
+    winner = game.get_winner()
+    if winner == 0:
+        print("\nDraw — no winner.")
+    else:
+        dot = f"{RED}●{RESET}" if winner == 1 else f"{BLUE}●{RESET}"
+        print(f"\n🏆 player {winner} ({dot}) wins!")
+    return winner
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        description="Play a match between two player modules",
+        usage="play.py <player1> <player2> [--game gomoku|pente] [--size N]",
+    )
+    ap.add_argument("player1")
+    ap.add_argument("player2")
+    ap.add_argument("--game", default="gomoku", choices=["gomoku", "pente"])
+    ap.add_argument("--size", type=int, default=15)
+    args = ap.parse_args(argv)
+    run_match(args.player1, args.player2, args.game, args.size)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,82 @@
+"""Training CLI: every ``train_alphazero`` knob as a flag.
+
+The reference configures training by hand-editing a literal config block
+(``/root/reference/train.py:847-890``); this exposes the same surface as
+argparse flags with the reference's production defaults.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from alphazero_gomoku_tpu.selfplay import train_alphazero
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description="Train AlphaZero on TPU")
+    ap.add_argument("--game", default="gomoku", choices=["gomoku", "pente"])
+    ap.add_argument("--board-size", type=int, default=15)
+    ap.add_argument("--num-iterations", type=int, default=300)
+    ap.add_argument("--games-per-iteration", type=int, default=70,
+                    help="lockstep self-play games per iteration")
+    ap.add_argument("--n-simulations", type=int, default=1600)
+    ap.add_argument("--cpuct", type=float, default=1.0)
+    ap.add_argument("--buffer-size", type=int, default=60000)
+    ap.add_argument("--batch-size", type=int, default=128)
+    ap.add_argument("--epochs-per-iter", type=int, default=5)
+    ap.add_argument("--temp-threshold", type=int, default=10)
+    ap.add_argument("--eval-games", type=int, default=60)
+    ap.add_argument("--eval-mcts-simulations", type=int, default=1600)
+    ap.add_argument("--win-rate-threshold", type=float, default=0.5)
+    ap.add_argument("--dirichlet-alpha", type=float, default=0.05)
+    ap.add_argument("--dirichlet-epsilon", type=float, default=0.15)
+    ap.add_argument("--dirichlet-n-moves", type=int, default=10)
+    ap.add_argument("--n-res-blocks", type=int, default=3)
+    ap.add_argument("--channels", type=int, default=64)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--weight-decay", type=float, default=1e-4)
+    ap.add_argument("--model-dir", default="models")
+    ap.add_argument("--save-every", type=int, default=1)
+    ap.add_argument("--pretrained-model-path", default=None)
+    ap.add_argument("--next-iteration-continuation", type=int, default=1)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--no-symmetries", action="store_true")
+    return ap
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    train_alphazero(
+        game_name=args.game,
+        board_size=args.board_size,
+        num_iterations=args.num_iterations,
+        games_per_iteration=args.games_per_iteration,
+        n_simulations=args.n_simulations,
+        buffer_size=args.buffer_size,
+        batch_size=args.batch_size,
+        epochs_per_iter=args.epochs_per_iter,
+        temp_threshold=args.temp_threshold,
+        eval_games=args.eval_games,
+        eval_mcts_simulations=args.eval_mcts_simulations,
+        win_rate_threshold=args.win_rate_threshold,
+        cpuct=args.cpuct,
+        model_dir=args.model_dir,
+        save_every=args.save_every,
+        pretrained_model_path=args.pretrained_model_path,
+        next_iteration_continuation=args.next_iteration_continuation,
+        dirichlet_alpha=args.dirichlet_alpha,
+        dirichlet_epsilon=args.dirichlet_epsilon,
+        dirichlet_n_moves=args.dirichlet_n_moves,
+        n_res_blocks=args.n_res_blocks,
+        channels=args.channels,
+        lr=args.lr,
+        weight_decay=args.weight_decay,
+        seed=args.seed,
+        use_symmetries=not args.no_symmetries,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

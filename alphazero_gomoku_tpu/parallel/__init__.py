@@ -1,0 +1,7 @@
+"""Device-mesh parallelism: sharded self-play and psum-gradient training."""
+
+from alphazero_gomoku_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    make_sharded_selfplay,
+    make_sharded_train_epoch,
+)

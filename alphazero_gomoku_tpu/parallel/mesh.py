@@ -1,0 +1,124 @@
+"""Multi-chip parallelism over a JAX device mesh.
+
+The reference scales by process pools + checkpoint-file parameter broadcast
+(``/root/reference/train.py:710-742``; SURVEY.md §2 P1/P2).  The TPU-native
+replacement is a single-controller program over a 1-D ``('data',)`` mesh:
+
+  - **self-play / arena**: the game batch shards across chips with
+    ``shard_map`` — each chip runs the identical jitted lockstep program on
+    its slice of games with replicated parameters; there is no cross-chip
+    communication during search (games are independent), so scaling is
+    embarrassingly linear over ICI-connected chips.
+  - **training**: the gradient batch shards across chips under ``jit`` with
+    sharding annotations; XLA inserts the gradient ``psum`` over ICI
+    automatically (GSPMD), and batch-norm statistics remain *global* batch
+    statistics because reductions over sharded axes are global reductions.
+
+Why only data parallelism: the model is a small CNN over a fixed 15x15 board
+— there is no sequence axis and the weights fit trivially in one chip's HBM,
+so tensor/pipeline/sequence/expert parallelism would add communication for
+zero benefit (SURVEY.md §2 parallelism checklist: all ABSENT in the
+reference workload).  The scaling axes that matter are batch-of-games and
+batch-of-leaves, both mapped to the ``data`` axis here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from alphazero_gomoku_tpu.models.model import train_step_fn
+from alphazero_gomoku_tpu.selfplay.runner import (
+    SelfPlayConfig,
+    Trajectories,
+    play_games,
+)
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    """1-D mesh over the first ``n_devices`` devices (default: all)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def make_sharded_selfplay(env, cfg: SelfPlayConfig, eval_fn, mesh: Mesh,
+                          axis: str = "data"):
+    """Data-parallel self-play: each chip plays ``batch_games/n`` games.
+
+    Returns ``fn(net_params, rng) -> Trajectories`` with batch axes sharded
+    over the mesh.  ``net_params`` is replicated; per-chip PRNG streams are
+    derived inside each shard with ``jax.random.fold_in``.
+    """
+    n = mesh.devices.size
+    if cfg.batch_games % n:
+        raise ValueError(
+            f"batch_games={cfg.batch_games} not divisible by mesh size {n}"
+        )
+    local_cfg = dataclasses.replace(cfg, batch_games=cfg.batch_games // n)
+
+    def shard_fn(net_params, rng):
+        shard_idx = jax.lax.axis_index(axis)
+        local_rng = jax.random.fold_in(rng, shard_idx)
+        return play_games(env, local_cfg, eval_fn, net_params, local_rng)
+
+    traj_specs = Trajectories(
+        boards=P(None, axis),        # [T, B, H, W]
+        players=P(None, axis),
+        pis=P(None, axis),
+        active=P(None, axis),
+        winners=P(axis),             # [B]
+        moves_played=P(axis),
+    )
+    # check_vma off: the per-shard MCTS while_loops mix replicated constants
+    # into shard-varying carries, which the VMA checker rejects; there is no
+    # cross-shard communication here, so the check buys nothing.
+    mapped = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=traj_specs,
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def make_sharded_train_epoch(net_cfg, tx, mesh: Mesh, axis: str = "data"):
+    """Gradient-data-parallel epoch: batches shard over chips, psum by XLA.
+
+    Returns ``fn(params, batch_stats, opt_state, xs, pis, zs)`` where the
+    minibatch arrays are ``[n_batches, batch, ...]`` with the per-step batch
+    axis (axis 1) sharded across the mesh.  Parameters/optimizer state are
+    replicated; XLA's partitioner turns the global-mean loss gradient into an
+    ICI all-reduce.
+    """
+    repl = NamedSharding(mesh, P())
+    batch_shard = NamedSharding(mesh, P(None, axis))
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(repl, repl, repl, batch_shard, batch_shard, batch_shard),
+        out_shardings=repl,
+    )
+    def epoch_fn(params, batch_stats, opt_state, xs, pis, zs):
+        def step(carry, batch):
+            params, stats, opt = carry
+            x, pi, z = batch
+            params, stats, opt, metrics = train_step_fn(
+                net_cfg, tx, params, stats, opt, x, pi, z
+            )
+            return (params, stats, opt), metrics
+
+        (params, batch_stats, opt_state), metrics = jax.lax.scan(
+            step, (params, batch_stats, opt_state), (xs, pis, zs)
+        )
+        last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
+        return params, batch_stats, opt_state, last
+
+    return epoch_fn

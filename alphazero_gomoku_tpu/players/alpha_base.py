@@ -1,0 +1,88 @@
+"""Shared implementation for the AlphaZero checkpoint players.
+
+Equivalent of the reference's near-identical ``player.py`` /
+``player_alpha.py`` / ``player_alpha2.py`` trio (SURVEY.md §2 A1): wrap the
+network + MCTS behind the ``play()`` protocol, loading a snapshot checkpoint
+and searching with noise off / deterministic argmax.  The variants only
+change defaults (simulation count, snapshot path).
+
+TPU-native internals: the game is rebuilt on device via ``env.from_board``
+and a single jitted ``run_mcts`` call produces the move — no per-simulation
+host work.  Robustness delta vs the reference: the side to move is inferred
+from the stone counts on the board rather than from turn parity
+(``players/player.py:68`` mislabels it after opening moves; with the
+perspective-invariant encoding both give identical play, but counting is
+always consistent).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alphazero_gomoku_tpu.games import make_env
+from alphazero_gomoku_tpu.models import AZModel
+from alphazero_gomoku_tpu.search import MCTSConfig, run_mcts
+from alphazero_gomoku_tpu.selfplay.loop import bundle_of, make_eval_fn
+
+
+class AlphaZeroPlayer:
+    def __init__(
+        self,
+        rules: str = "gomoku",
+        board_size: int = 15,
+        n_simulations: int = 3000,
+        c_puct: float = 1.0,
+        model_path: Optional[str] = "models/best_latest.ckpt",
+        n_res_blocks: int = 3,
+        channels: int = 64,
+    ):
+        self.rules = str(rules).lower()
+        self.board_size = board_size
+        self.n_simulations = n_simulations
+        self.c_puct = c_puct
+        self.model_path = model_path
+
+        self.env = make_env(self.rules, board_size)
+        self.net = AZModel(board_size=board_size,
+                           n_res_blocks=n_res_blocks, channels=channels)
+        if model_path and os.path.exists(model_path):
+            print(f"[AlphaZeroPlayer] loading model: {model_path}")
+            self.net.load(model_path)
+        else:
+            print(f"[AlphaZeroPlayer] WARNING: no model at {model_path!r}; "
+                  "playing with random weights")
+
+        cfg = MCTSConfig(n_simulations=n_simulations, cpuct=c_puct,
+                         add_noise=False)
+        eval_fn = make_eval_fn(self.net.cfg)
+        env = self.env
+        self._search = jax.jit(
+            lambda bundle, state, move_no, key: run_mcts(
+                env, cfg, eval_fn, bundle,
+                jax.tree_util.tree_map(lambda x: x[None], state),
+                jnp.asarray([move_no], jnp.int32), key,
+            )[0]
+        )
+
+    # ------------------------------------------------------------------
+    def play(self, board, turn_number: int,
+             last_opponent_move) -> Optional[Tuple[int, int]]:
+        raw = np.asarray(board if isinstance(board, (list, np.ndarray))
+                         else board.board, dtype=np.int8)
+        stones1 = int((raw == 1).sum())
+        stones2 = int((raw == 2).sum())
+        to_move = 1 if stones1 == stones2 else 2
+        state = self.env.from_board(raw, to_move)
+        if bool(state.done):
+            return None
+        pi = np.asarray(
+            self._search(bundle_of(self.net), state, int(turn_number),
+                         jax.random.PRNGKey(turn_number))
+        )
+        action = int(np.argmax(pi))
+        return divmod(action, self.board_size)

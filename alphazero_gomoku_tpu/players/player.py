@@ -1,0 +1,10 @@
+"""Default AlphaZero player (reference ``players/player.py``: 3000 sims)."""
+
+from alphazero_gomoku_tpu.players.alpha_base import AlphaZeroPlayer
+
+
+class Player(AlphaZeroPlayer):
+    def __init__(self, rules="gomoku", board_size=15, n_simulations=3000,
+                 c_puct=1.0, model_path="models/best_latest.ckpt", **kw):
+        super().__init__(rules, board_size, n_simulations, c_puct,
+                         model_path, **kw)

@@ -1,0 +1,250 @@
+"""Heuristic (network-free) MCTS baseline — host side, vectorized NumPy.
+
+Capability equivalent of the reference's ``mcts/mcts_pure.py`` (M3 in
+SURVEY.md §2): an object-tree PUCT search whose priors come from handcrafted
+threat heuristics and whose leaf values come from short rollouts with
+immediate-win / immediate-block scanning.  It exists as a comparison baseline
+and as the engine behind the ``player_mcts`` plugin.
+
+Behaviour spec matched to the reference:
+  - prior policy: per-move score ``2*attack + 1.5*defense + 0.1*(-manhattan
+    distance to centre)`` (+ ``3*capture_potential`` for Pente), softmaxed
+    (``mcts_pure.py:59-81,202-234``).
+  - threat buckets per direction (Gomoku): >=5: 100, open four: 50, closed
+    four: 25, open three: 10, closed three: 4, open two: 2
+    (``mcts_pure.py:105-116``); Pente buckets: >=5: 120, four: 60, three:
+    15, two: 4, capture potential 20/pattern (``mcts_pure.py:261-289``).
+  - PUCT: ``Q + c * P * sqrt(parent_N) / (1 + N)``, incremental-mean Q
+    (``mcts_pure.py:34-48``).
+  - rollout (depth <= 3): play the immediate winning move if any (value 1),
+    else block the opponent's immediate win (value 0.8), else sample from
+    the heuristic policy; terminal scoring 1 / 0 / draw 0.5
+    (``mcts_pure.py:133-175``).
+  - final move = most-visited root child; random legal fallback
+    (``mcts_pure.py:178-192``).
+
+Unlike the reference's per-cell Python walks + deepcopies, the threat and
+capture heuristics here are whole-board vectorized (shift-and-cumprod run
+lengths), and states are cloned through the cheap host engines.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+_DIR_PAIRS = ((1, 0), (0, 1), (1, 1), (1, -1))
+
+
+def _shift(mask: np.ndarray, dr: int, dc: int, fill=0) -> np.ndarray:
+    """Board-sized array shifted so out[r,c] = mask[r+dr, c+dc]."""
+    h, w = mask.shape
+    out = np.full_like(mask, fill)
+    rs_src = slice(max(dr, 0), h + min(dr, 0))
+    cs_src = slice(max(dc, 0), w + min(dc, 0))
+    rs_dst = slice(max(-dr, 0), h + min(-dr, 0))
+    cs_dst = slice(max(-dc, 0), w + min(-dc, 0))
+    out[rs_dst, cs_dst] = mask[rs_src, cs_src]
+    return out
+
+
+def _runs_and_open(board: np.ndarray, player: int, dr: int, dc: int):
+    """For every cell: capped run length (<=4) of ``player`` stones starting
+    one step away along +(dr,dc), and whether the cell past the run is empty.
+    """
+    mine = (board == player).astype(np.int8)
+    empty = (board == 0)
+    run = np.zeros(board.shape, np.int8)
+    chain = np.ones(board.shape, np.int8)
+    for k in range(1, 5):
+        chain = chain * _shift(mine, k * dr, k * dc)
+        run += chain
+    open_end = np.zeros(board.shape, bool)
+    for k in range(5):
+        open_end |= (run == k) & _shift(empty, (k + 1) * dr, (k + 1) * dc,
+                                        fill=False)
+    return run, open_end
+
+
+def threat_scores(board: np.ndarray, player: int,
+                  table: str = "gomoku") -> np.ndarray:
+    """Vectorized per-cell threat score for placing ``player`` at each cell."""
+    score = np.zeros(board.shape, np.float32)
+    for dr, dc in _DIR_PAIRS:
+        r_p, o_p = _runs_and_open(board, player, dr, dc)
+        r_m, o_m = _runs_and_open(board, player, -dr, -dc)
+        count = 1 + r_p.astype(np.int32) + r_m.astype(np.int32)
+        opens = o_p.astype(np.int32) + o_m.astype(np.int32)
+        if table == "gomoku":
+            score += np.select(
+                [count >= 5,
+                 (count == 4) & (opens == 2), (count == 4) & (opens == 1),
+                 (count == 3) & (opens == 2), (count == 3) & (opens == 1),
+                 (count == 2) & (opens == 2)],
+                [100.0, 50.0, 25.0, 10.0, 4.0, 2.0], 0.0)
+        else:  # pente buckets
+            score += np.select(
+                [count >= 5,
+                 (count == 4) & (opens >= 1),
+                 (count == 3) & (opens >= 1),
+                 (count == 2) & (opens >= 1)],
+                [120.0, 60.0, 15.0, 4.0], 0.0)
+    return score
+
+
+def capture_potential(board: np.ndarray, player: int) -> np.ndarray:
+    """Per-cell count of capturable opponent pairs (pattern me-opp-opp-me
+    along the 4 axes, checked in the + direction like the reference)."""
+    opp = 3 - player
+    o = (board == opp)
+    m = (board == player)
+    pot = np.zeros(board.shape, np.int32)
+    for dr, dc in _DIR_PAIRS:
+        pot += (
+            _shift(o, dr, dc, False)
+            & _shift(o, 2 * dr, 2 * dc, False)
+            & _shift(m, 3 * dr, 3 * dc, False)
+        ).astype(np.int32)
+    return pot
+
+
+def _center_bias(size: int) -> np.ndarray:
+    r = np.abs(np.arange(size) - size // 2)
+    return -(r[:, None] + r[None, :]).astype(np.float32)
+
+
+class _PureNode:
+    __slots__ = ("parent", "children", "n", "q", "p", "move", "state")
+
+    def __init__(self, parent=None, prior=1.0, move=None, state=None):
+        self.parent = parent
+        self.children: Dict[Tuple[int, int], "_PureNode"] = {}
+        self.n = 0
+        self.q = 0.0
+        self.p = prior
+        self.move = move
+        self.state = state
+
+    def best_child(self, c_puct: float):
+        sqrt_n = math.sqrt(self.n)
+        best, best_score = None, -float("inf")
+        for child in self.children.values():
+            u = c_puct * child.p * sqrt_n / (1 + child.n)
+            s = child.q + u
+            if s > best_score:
+                best, best_score = child, s
+        return best
+
+    def update_path(self, leaf_value: float):
+        node, v = self, leaf_value
+        while node is not None:
+            node.n += 1
+            node.q += (v - node.q) / node.n
+            node, v = node.parent, -v
+
+
+class PureMCTS:
+    """Heuristic PUCT search over host game objects (Gomoku or Pente)."""
+
+    def __init__(self, n_playout: int = 100, c_puct: float = 1.4,
+                 table: str = "gomoku", rollout_depth: int = 3,
+                 rng: Optional[random.Random] = None):
+        self.n_playout = n_playout
+        self.c_puct = c_puct
+        self.table = table
+        self.rollout_depth = rollout_depth
+        self.rng = rng or random.Random()
+
+    # -- heuristic policy ----------------------------------------------
+    def _policy(self, state) -> List[Tuple[Tuple[int, int], float]]:
+        moves = state.get_legal_moves()
+        if not moves:
+            return []
+        me = state.current_player
+        board = state.board
+        score = (2.0 * threat_scores(board, me, self.table)
+                 + 1.5 * threat_scores(board, 3 - me, self.table)
+                 + 0.1 * _center_bias(state.size))
+        if self.table == "pente":
+            score = score + 3.0 * 20.0 * capture_potential(board, me)
+        vals = np.array([score[m] for m in moves], np.float64)
+        if not vals.any():
+            vals = np.ones(len(moves))
+        probs = np.exp(vals - vals.max())
+        probs /= probs.sum()
+        return list(zip(moves, probs))
+
+    # -- immediate tactics ---------------------------------------------
+    def _winning_move(self, state, player) -> Optional[Tuple[int, int]]:
+        """A legal move that makes ``player`` win right now, if any."""
+        for move in state.get_legal_moves():
+            probe = state.clone()
+            probe.current_player = player
+            probe.do_move(move)
+            if probe.check_winner() == player:
+                return move
+        return None
+
+    # -- rollout --------------------------------------------------------
+    def _rollout(self, state) -> float:
+        depth = 0
+        while not state.is_game_over() and depth < self.rollout_depth:
+            me = state.current_player
+            win = self._winning_move(state, me)
+            if win is not None:
+                state.do_move(win)
+                return 1.0
+            block = self._winning_move(state, 3 - me)
+            if block is not None:
+                state.do_move(block)
+                return 0.8
+            policy = self._policy(state)
+            if not policy:
+                break
+            moves, probs = zip(*policy)
+            state.do_move(self.rng.choices(moves, weights=probs, k=1)[0])
+            depth += 1
+        winner = state.check_winner()
+        if winner == 0:
+            return 0.5
+        return 1.0 if winner == state.current_player else 0.0
+
+    # -- one playout -----------------------------------------------------
+    def _playout(self, root: _PureNode):
+        node = root
+        while node.children:
+            node = node.best_child(self.c_puct)
+        expansion = self._policy(node.state)
+        for move, prob in expansion:
+            nxt = node.state.clone()
+            nxt.do_move(move)
+            node.children[move] = _PureNode(node, float(prob), move, nxt)
+        value = self._rollout(node.state.clone())
+        node.update_path(-value)
+
+    # -- public ----------------------------------------------------------
+    def get_move(self, state) -> Optional[Tuple[int, int]]:
+        root = _PureNode(state=state.clone())
+        for _ in range(self.n_playout):
+            self._playout(root)
+        if not root.children:
+            moves = state.get_legal_moves()
+            return self.rng.choice(moves) if moves else None
+        return max(root.children.values(), key=lambda c: c.n).move
+
+
+class MCTSGomoku(PureMCTS):
+    """Reference-named alias (``mcts_pure.py:52``)."""
+
+    def __init__(self, n_playout: int = 100, c_puct: float = 1.4, **kw):
+        super().__init__(n_playout, c_puct, table="gomoku", **kw)
+
+
+class MCTSPente(PureMCTS):
+    """Reference-named alias (``mcts_pure.py:195``)."""
+
+    def __init__(self, n_playout: int = 120, c_puct: float = 1.4, **kw):
+        super().__init__(n_playout, c_puct, table="pente", **kw)

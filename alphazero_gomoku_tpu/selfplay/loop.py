@@ -1,0 +1,286 @@
+"""The full AlphaZero training loop: self-play -> train -> arena -> gate.
+
+Mirrors the reference's ``train_alphazero`` orchestration and parameter
+surface (``/root/reference/train.py:575-842``) re-designed single-controller:
+the candidate's parameters stay resident in HBM and are used directly by the
+batched self-play and arena kernels — there is no checkpoint-file parameter
+broadcast and no worker pool (reference P1/P2).  Parallelism is the game
+batch (and, multi-chip, the device mesh; see
+:mod:`alphazero_gomoku_tpu.parallel`).
+
+Phase parity per iteration (reference ``train.py:650-840``):
+  1. self-play with the candidate + Dirichlet noise -> replay buffer
+  2. if buffer >= batch_size: ``epochs_per_iter`` epochs of
+     ``len(buffer)//batch_size`` optimizer steps on uniform samples
+  3. arena candidate-vs-best (noise off, argmax, random centre opening,
+     alternating seats); failures score 0 so training continues
+  4. gate: accept (best <- candidate incl. optimizer state) at
+     ``win_rate >= threshold`` else reset candidate <- best
+  5. snapshot best every ``save_every`` iters; persist the buffer
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from datetime import datetime
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alphazero_gomoku_tpu.games import make_env
+from alphazero_gomoku_tpu.models.model import AZModel, train_step_fn
+from alphazero_gomoku_tpu.models.resnet import apply
+from alphazero_gomoku_tpu.search.tree import MCTSConfig
+from alphazero_gomoku_tpu.selfplay.arena import evaluate_params
+from alphazero_gomoku_tpu.selfplay.buffer import (
+    ReplayBuffer,
+    load_replay_buffer,
+    save_replay_buffer,
+)
+from alphazero_gomoku_tpu.selfplay.runner import (
+    SelfPlayConfig,
+    collect_examples,
+    play_games,
+)
+
+
+def make_eval_fn(net_cfg):
+    """Network forward for MCTS: bundle {'params','batch_stats'} -> (probs, v)."""
+
+    def eval_fn(bundle, obs):
+        (logits, value), _ = apply(
+            net_cfg, bundle["params"], bundle["batch_stats"], obs, train=False
+        )
+        return jax.nn.softmax(logits, axis=-1), value
+
+    return eval_fn
+
+
+def bundle_of(model: AZModel):
+    return {"params": model.params, "batch_stats": model.batch_stats}
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def train_epoch_fn(net_cfg, tx, params, batch_stats, opt_state, xs, pis, zs):
+    """Scan optimizer steps over pre-sampled batches ([n_batches, b, ...])."""
+
+    def step(carry, batch):
+        params, stats, opt = carry
+        x, pi, z = batch
+        params, stats, opt, metrics = train_step_fn(
+            net_cfg, tx, params, stats, opt, x, pi, z
+        )
+        return (params, stats, opt), metrics
+
+    (params, batch_stats, opt_state), metrics = jax.lax.scan(
+        step, (params, batch_stats, opt_state), (xs, pis, zs)
+    )
+    last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
+    return params, batch_stats, opt_state, last
+
+
+def train_alphazero(
+    game_name: str = "gomoku",
+    board_size: int = 15,
+    num_iterations: int = 5,
+    games_per_iteration: int = 8,
+    n_simulations: int = 50,
+    buffer_size: int = 10000,
+    batch_size: int = 128,
+    epochs_per_iter: int = 2,
+    temp_threshold: int = 8,
+    eval_games: int = 12,
+    eval_mcts_simulations: int = 200,
+    win_rate_threshold: float = 0.55,
+    cpuct: float = 1.2,
+    model_dir: str = "models",
+    save_every: int = 1,
+    pretrained_model_path: Optional[str] = None,
+    next_iteration_continuation: int = 1,
+    # --- MCTS Dirichlet noise ---
+    dirichlet_alpha: float = 0.03,
+    dirichlet_epsilon: float = 0.25,
+    dirichlet_n_moves: int = 30,
+    # --- network (reference trainer defaults: 3 blocks / 64 ch) ---
+    n_res_blocks: int = 3,
+    channels: int = 64,
+    lr: float = 1e-3,
+    weight_decay: float = 1e-4,
+    seed: int = 0,
+    # --- accepted for reference API compatibility; inert on TPU ------
+    # (process pools are replaced by the lockstep game batch + device mesh)
+    selfplay_num_workers: int = 0,
+    selfplay_device: str = "tpu",
+    selfplay_games_per_task: int = 1,
+    selfplay_base_seed: int = 12345,
+    selfplay_torch_threads: int = 1,
+    eval_num_workers: int = 0,
+    eval_device: str = "tpu",
+    eval_games_per_task: int = 1,
+    eval_base_seed: int = 54321,
+    eval_torch_threads: int = 1,
+    # --- extras ---
+    use_symmetries: bool = True,
+    verbose: bool = True,
+    mesh=None,
+):
+    """Run the training loop; returns a per-iteration history list."""
+    del selfplay_num_workers, selfplay_device, selfplay_games_per_task
+    del selfplay_base_seed, selfplay_torch_threads, eval_num_workers
+    del eval_device, eval_games_per_task, eval_base_seed, eval_torch_threads
+
+    def log(*args):
+        if verbose:
+            print(*args, flush=True)
+
+    os.makedirs(model_dir, exist_ok=True)
+    env = make_env(game_name, board_size)
+    action_size = env.num_actions
+
+    def new_model():
+        return AZModel(
+            board_size=board_size, action_size=action_size,
+            n_res_blocks=n_res_blocks, channels=channels,
+            lr=lr, weight_decay=weight_decay, seed=seed,
+        )
+
+    if pretrained_model_path and os.path.exists(pretrained_model_path):
+        log(f"loading pretrained model: {pretrained_model_path}")
+        model_best = new_model()
+        model_best.load(pretrained_model_path)
+    else:
+        log("no pretrained model found; initializing fresh weights")
+        model_best = new_model()
+    model_candidate = new_model()
+    model_candidate.copy_weights_from(model_best)
+
+    buffer_path = os.path.join(model_dir, "replay_buffer_latest.npz")
+    buffer = load_replay_buffer(buffer_path, capacity=buffer_size,
+                                board_size=board_size)
+    if buffer is None:
+        log("[Buffer] starting with an empty buffer")
+        buffer = ReplayBuffer(capacity=buffer_size, board_size=board_size)
+
+    eval_fn = make_eval_fn(model_candidate.cfg)
+    sp_cfg = SelfPlayConfig(
+        batch_games=games_per_iteration,
+        temp_threshold=temp_threshold,
+        use_symmetries=use_symmetries,
+        mcts=MCTSConfig(
+            n_simulations=n_simulations,
+            cpuct=cpuct,
+            dirichlet_alpha=dirichlet_alpha,
+            dirichlet_epsilon=dirichlet_epsilon,
+            dirichlet_moves=dirichlet_n_moves,
+            add_noise=True,
+        ),
+    )
+    arena_cfg = MCTSConfig(
+        n_simulations=eval_mcts_simulations, cpuct=cpuct, add_noise=False
+    )
+    selfplay_jit = jax.jit(
+        functools.partial(play_games, env, sp_cfg, eval_fn)
+    )
+
+    rng_np = np.random.default_rng(seed)
+    history = []
+    end_iter = next_iteration_continuation + num_iterations
+
+    for it in range(next_iteration_continuation, end_iter):
+        t_iter = time.time()
+        log(f"\n=== ITER {it}/{end_iter - 1}: self-play "
+            f"(games={games_per_iteration}, sims={n_simulations}) "
+            f"@ {datetime.now().strftime('%Y-%m-%d %H:%M:%S')} ===")
+
+        # ---- phase 1: self-play --------------------------------------
+        t0 = time.time()
+        traj = selfplay_jit(bundle_of(model_candidate),
+                            jax.random.PRNGKey(seed * 100003 + it))
+        states, pis, zs, winners = collect_examples(
+            traj, use_symmetries=use_symmetries
+        )
+        buffer.add(states, pis, zs)
+        n_moves = int(np.asarray(traj.moves_played).sum())
+        sp_dt = time.time() - t0
+        log(f"self-play done: {sp_dt:.1f}s, {n_moves} moves "
+            f"({n_moves / max(sp_dt, 1e-9):.1f} moves/s), winners={winners}, "
+            f"buffer={len(buffer)}")
+
+        # ---- phase 2: train ------------------------------------------
+        loss_info = None
+        if len(buffer) >= batch_size:
+            n_batches = max(1, len(buffer) // batch_size)
+            log(f"training candidate: buffer={len(buffer)}, "
+                f"batch={batch_size}, epochs={epochs_per_iter}, "
+                f"steps/epoch={n_batches}")
+            for epoch in range(epochs_per_iter):
+                t1 = time.time()
+                xs, ps, zb = buffer.sample_many(n_batches, batch_size, rng_np)
+                (model_candidate.params, model_candidate.batch_stats,
+                 model_candidate.opt_state, metrics) = train_epoch_fn(
+                    model_candidate.cfg, model_candidate.tx,
+                    model_candidate.params, model_candidate.batch_stats,
+                    model_candidate.opt_state,
+                    jnp.asarray(xs), jnp.asarray(ps), jnp.asarray(zb))
+                loss_info = {k: float(v) for k, v in metrics.items()}
+                log(f"  epoch {epoch + 1}/{epochs_per_iter}: "
+                    f"{time.time() - t1:.1f}s, last_loss={loss_info}")
+        else:
+            log(f"not enough samples (buffer={len(buffer)} < {batch_size}); "
+                f"skipping training this iteration")
+
+        # ---- phase 3: arena ------------------------------------------
+        t2 = time.time()
+        try:
+            new_wins, win_rate, draws = evaluate_params(
+                env, arena_cfg, eval_fn,
+                bundle_of(model_candidate), bundle_of(model_best),
+                eval_games, jax.random.PRNGKey(seed * 7919 + it),
+            )
+        except Exception as e:  # keep training alive (reference behaviour)
+            log(f"evaluation failed: {e}")
+            new_wins, win_rate, draws = 0, 0.0, 0
+        log(f"eval done: {(time.time() - t2):.1f}s, win_rate={win_rate:.3f} "
+            f"({new_wins}/{eval_games}), draws={draws}")
+
+        # ---- phase 4: gate -------------------------------------------
+        accepted = win_rate >= win_rate_threshold
+        if accepted:
+            log(" candidate ACCEPTED -> promoted to best")
+            model_best.copy_weights_from(model_candidate)
+        else:
+            log(" candidate rejected -> restored from best")
+            model_candidate.copy_weights_from(model_best)
+
+        # ---- phase 5: snapshot + persist buffer ----------------------
+        snapshot_path = None
+        if it % save_every == 0:
+            ts = datetime.now().strftime("%Y%m%d_%H%M%S")
+            snapshot_path = os.path.join(
+                model_dir, f"snapshot_iter{it}_{ts}.ckpt"
+            )
+            model_best.save(snapshot_path)
+            log(f" saved snapshot: {snapshot_path}")
+        save_replay_buffer(buffer, buffer_path)
+
+        log(f"iteration {it} finished in {(time.time() - t_iter):.1f}s; "
+            f"winners={winners}")
+        history.append({
+            "iteration": it,
+            "winners": winners,
+            "moves": n_moves,
+            "selfplay_seconds": sp_dt,
+            "loss": loss_info,
+            "win_rate": win_rate,
+            "draws": draws,
+            "accepted": accepted,
+            "buffer_size": len(buffer),
+            "snapshot": snapshot_path,
+        })
+
+    log("\n=== training complete ===")
+    return history

@@ -1,0 +1,191 @@
+"""Lockstep batched self-play: B games per device, whole games in one jit.
+
+TPU re-design of the reference's per-process game loop
+(``/root/reference/train.py:360-412`` + worker fan-out ``:62-129``): instead
+of N worker processes each playing one game at a time against a private model
+copy, ONE jitted program advances B games in lockstep — every move runs a
+batched MCTS whose leaf evaluations batch across all B games, so the network
+always sees full batches and the host is never consulted mid-game.
+
+Reference semantics preserved:
+  - temperature schedule ``temp = max(0, 1 - move/temp_threshold)``
+    (``train.py:92-93,647-648``).
+  - move sampling from ``pi^(1/T)`` via log-softmax, argmax when T == 0
+    (``train.py:252-266``), with illegal-sample fallback to argmax
+    (``train.py:379-382``).
+  - per-move records of (state, pi, player); outcome z in {-1, 0, 1} assigned
+    from the winner's perspective after the game (``train.py:399-403``).
+  - 8-fold dihedral augmentation of stored samples (``train.py:405-410``).
+  - max-moves cap (``train.py:392``).
+
+Games that finish early are frozen by ``step_safe`` and their subsequent
+records masked out via the ``active`` flags.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alphazero_gomoku_tpu.ops.symmetry import expand_symmetries_batch_np
+from alphazero_gomoku_tpu.search.tree import EvalFn, MCTSConfig, run_mcts
+
+
+@dataclasses.dataclass(frozen=True)
+class SelfPlayConfig:
+    batch_games: int
+    mcts: MCTSConfig
+    temp_threshold: int = 10
+    max_moves: int = 0  # 0 => board_size ** 2
+    use_symmetries: bool = True
+
+    def resolved_max_moves(self, env) -> int:
+        return self.max_moves or env.num_actions
+
+
+class Trajectories(NamedTuple):
+    """Per-step records of a lockstep batch ([T, B, ...]) + outcomes [B]."""
+
+    boards: jax.Array    # int8 [T, B, H, W] board BEFORE the move
+    players: jax.Array   # int32 [T, B] player to move
+    pis: jax.Array       # f32 [T, B, A] MCTS policy
+    active: jax.Array    # bool [T, B] record valid (game not yet finished)
+    winners: jax.Array   # int32 [B]
+    moves_played: jax.Array  # int32 [B] number of moves each game lasted
+
+
+def sample_actions(pi: jax.Array, temp: jax.Array, legal: jax.Array,
+                   rng: jax.Array) -> jax.Array:
+    """Reference-style temperature sampling over ``pi`` (batched).
+
+    ``pi^(1/T)`` categorical when T > 0, argmax when T <= 0; samples that
+    land on illegal actions fall back to argmax (``train.py:379-382``).
+    """
+    logits = jnp.log(pi + 1e-15) / jnp.maximum(temp, 1e-8)
+    sampled = jax.random.categorical(rng, logits, axis=-1)
+    greedy = jnp.argmax(pi, axis=-1)
+    take_greedy = (temp <= 0.0) | ~jnp.take_along_axis(
+        legal, sampled[:, None], axis=1
+    ).squeeze(1)
+    return jnp.where(take_greedy, greedy, sampled).astype(jnp.int32)
+
+
+def play_games(
+    env,
+    cfg: SelfPlayConfig,
+    eval_fn: EvalFn,
+    net_params,
+    rng: jax.Array,
+) -> Trajectories:
+    """Play ``cfg.batch_games`` lockstep games to completion (one XLA program).
+
+    Implemented as a ``while_loop`` writing into preallocated ``[T, B, ...]``
+    record buffers so the program stops as soon as EVERY game in the batch
+    has finished — no wasted full-length plies on early-ending batches.
+    """
+    batch = cfg.batch_games
+    max_moves = cfg.resolved_max_moves(env)
+    states0 = env.init_batch(batch)
+    size = env.size
+
+    buffers0 = (
+        jnp.zeros((max_moves, batch, size, size), jnp.int8),      # boards
+        jnp.zeros((max_moves, batch), jnp.int32),                 # players
+        jnp.zeros((max_moves, batch, env.num_actions), jnp.float32),  # pis
+        jnp.zeros((max_moves, batch), jnp.bool_),                 # active
+    )
+
+    def cond(carry):
+        states, _, t, _ = carry
+        return (t < max_moves) & ~jnp.all(states.done)
+
+    def body(carry):
+        states, rng, t, bufs = carry
+        rng, k_search, k_sample = jax.random.split(rng, 3)
+        active = ~states.done
+
+        pi = run_mcts(
+            env, cfg.mcts, eval_fn, net_params, states,
+            jnp.full((batch,), t, jnp.int32), k_search,
+        )
+        temp = jnp.maximum(
+            0.0, 1.0 - t.astype(jnp.float32) / cfg.temp_threshold
+        )
+        legal = jax.vmap(env.legal_mask)(states)
+        # done games have all-zero pi; give them a harmless action 0
+        safe_pi = jnp.where(active[:, None], pi, 1.0)
+        actions = sample_actions(safe_pi, temp, legal | ~active[:, None],
+                                 k_sample)
+        boards_b, players_b, pis_b, active_b = bufs
+        bufs = (
+            boards_b.at[t].set(states.board),
+            players_b.at[t].set(states.to_move),
+            pis_b.at[t].set(pi),
+            active_b.at[t].set(active),
+        )
+        states = jax.vmap(env.step_safe)(states, actions)
+        return (states, rng, t + 1, bufs)
+
+    final_states, _, _, (boards, players, pis, active) = jax.lax.while_loop(
+        cond, body, (states0, rng, jnp.int32(0), buffers0)
+    )
+    return Trajectories(
+        boards=boards,
+        players=players,
+        pis=pis,
+        active=active,
+        winners=final_states.winner,
+        moves_played=jnp.sum(active.astype(jnp.int32), axis=0),
+    )
+
+
+def encode_board_np(boards: np.ndarray, players: np.ndarray) -> np.ndarray:
+    """Encode raw boards to NHWC float planes (vectorized, host side)."""
+    p = players.reshape(players.shape + (1, 1))
+    plane_me = (boards == p).astype(np.float32)
+    plane_opp = (boards == (3 - p)).astype(np.float32)
+    ones = np.ones_like(plane_me)
+    return np.stack([plane_me, plane_opp, ones], axis=-1)
+
+
+def collect_examples(
+    traj: Trajectories, use_symmetries: bool = True
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, dict]:
+    """Flatten trajectories into training samples (host side).
+
+    Returns (states [N, H, W, 3], pis [N, A], zs [N], winner_stats).
+    """
+    boards = np.asarray(traj.boards)
+    players = np.asarray(traj.players)
+    pis = np.asarray(traj.pis)
+    active = np.asarray(traj.active)
+    winners = np.asarray(traj.winners)
+
+    t, b = active.shape
+    win_per_record = np.broadcast_to(winners[None, :], (t, b))
+    z = np.where(
+        win_per_record == 0, 0.0,
+        np.where(win_per_record == players, 1.0, -1.0),
+    ).astype(np.float32)
+
+    mask = active.reshape(-1)
+    states = encode_board_np(
+        boards.reshape(-1, *boards.shape[2:]), players.reshape(-1)
+    )[mask]
+    flat_pis = pis.reshape(-1, pis.shape[-1])[mask].astype(np.float32)
+    flat_z = z.reshape(-1)[mask]
+
+    if use_symmetries:
+        states, flat_pis = expand_symmetries_batch_np(states, flat_pis)
+        flat_z = np.tile(flat_z, 8)
+
+    stats = {
+        0: int((winners == 0).sum()),
+        1: int((winners == 1).sum()),
+        2: int((winners == 2).sum()),
+    }
+    return states, flat_pis, flat_z, stats

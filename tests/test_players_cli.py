@@ -1,0 +1,109 @@
+"""Pure-MCTS baseline, player plugin protocol, and CLI runner tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from alphazero_gomoku_tpu.games.host import Gomoku, Pente
+from alphazero_gomoku_tpu.players import load_player
+from alphazero_gomoku_tpu.search.pure_mcts import (
+    MCTSGomoku,
+    MCTSPente,
+    capture_potential,
+    threat_scores,
+)
+
+
+def test_threat_scores_buckets():
+    g = Gomoku(9)
+    for k in range(3):
+        g.do_move((4, 2 + k))
+        g.do_move((8, k))
+    s = threat_scores(g.board, 1)
+    # completing to an open four from either side of the open three
+    assert s[4, 1] >= 50.0 and s[4, 5] >= 50.0
+    # far-away empty cell scores 0
+    assert s[0, 8] == 0.0
+
+
+def test_capture_potential_counts_patterns():
+    # NOTE: like the reference heuristic (mcts_pure.py:277-289) only the 4
+    # positive rays are scanned, so orient the pattern positively:
+    # playing (4,1) sees (4,2) opp, (4,3) opp, (4,4) mine along +(0,1).
+    p = Pente(9)
+    for mv in [(4, 4), (4, 2), (0, 0), (4, 3)]:
+        p.do_move(mv)
+    pot = capture_potential(p.board, 1)
+    assert pot[4, 1] == 1
+    assert pot[0, 1] == 0
+
+
+def test_pure_mcts_takes_win_and_blocks():
+    g = Gomoku(9)
+    for k in range(4):
+        g.do_move((4, k))
+        g.do_move((8, k if k < 3 else 5))
+    assert g.current_player == 1
+    mv = MCTSGomoku(n_playout=25).get_move(g)
+    assert mv == (4, 4)
+
+    g2 = Gomoku(9)
+    g2.do_move((0, 0))
+    for k in range(3):
+        g2.do_move((4, 2 + k))
+        g2.do_move((1, k))
+    g2.do_move((4, 5))  # P2 four at (4,2..5); P1 must block
+    mv2 = MCTSGomoku(n_playout=25).get_move(g2)
+    assert mv2 in [(4, 1), (4, 6)]
+
+
+def test_pure_mcts_pente_capture_aware():
+    p = Pente(9)
+    for mv in [(4, 4), (4, 5), (0, 0), (4, 6)]:
+        p.do_move(mv)
+    # (4,7) both captures a pair and is near threats; ensure legal move out
+    mv = MCTSPente(n_playout=30).get_move(p)
+    assert p.board[mv] == 0
+
+
+def test_player_mcts_plugin_protocol():
+    player = load_player("player_mcts", "gomoku", 9)
+    g = Gomoku(9)
+    g.do_move((4, 4))
+    mv = player.play(g.clone(), 1, g.last_move)
+    assert mv is not None and g.board[mv] == 0
+    # raw list board also accepted
+    mv2 = player.play(g.board.tolist(), 1, (4, 4))
+    assert mv2 is not None
+
+
+def test_load_player_errors():
+    with pytest.raises(ValueError):
+        load_player("nonexistent_player_xyz", "gomoku", 9)
+
+
+@pytest.mark.slow
+def test_cli_match_and_tournament(tmp_path, monkeypatch, capsys):
+    from alphazero_gomoku_tpu.cli.play import run_match
+    from alphazero_gomoku_tpu.cli import play_loop as pl
+
+    monkeypatch.chdir(tmp_path)
+    winner = run_match("player_mcts", "player_mcts", "gomoku", size=7)
+    assert winner in (0, 1, 2)
+
+    metrics = pl.loop_for_n_games("player_mcts", "player_mcts", 2,
+                                  game_name="gomoku", size=7, seed=5)
+    out = capsys.readouterr().out
+    assert "finished game 2/2" in out
+    files = list((tmp_path / "metrics").glob("*.json"))
+    assert len(files) == 1
+    data = json.loads(files[0].read_text())
+    assert data["n_games"] == 2
+    assert data["player1"][0] == "player_mcts"
+    assert data["draws"] + sum(data["wins"].values()) == 2
+    # both games recorded moves and seat swap happened
+    assert data["starting_player_per_game"]["game_1"] == "player_mcts"
+    g1_moves = data["move_made"]["player_mcts"]["game_1"]
+    assert len(g1_moves) >= 1
