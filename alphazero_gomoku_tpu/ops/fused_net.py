@@ -1,0 +1,287 @@
+"""Fused whole-network inference kernel (Pallas, TPU).
+
+Evaluation-mode inference is ~all of AlphaZero's FLOPs (hundreds of leaf
+evaluations per move vs one training step per 128 samples), so the entire
+policy/value ResNet is fused into ONE Pallas kernel:
+
+  - BatchNorm is folded into each conv (eval mode: per-channel scale into
+    the conv weights, shift into a bias), done once per parameter update by
+    :func:`fold_bn`.
+  - The kernel keeps a tile of G games' activations resident in VMEM as a
+    zero-padded ``[G, H+2, W+2, C]`` buffer; a 3x3 SAME conv is nine static
+    slices of that buffer matmul'd against ``[C, C]`` weight planes on the
+    MXU (M = G*H*W rows), accumulating in float32 with bfloat16 inputs.
+  - Residual blocks ping-pong between two scratch buffers whose borders
+    stay zero, so spatial padding costs nothing after the initial memset.
+  - Policy and value heads (1x1 convs + FCs + tanh) run in the same kernel;
+    only logits [G, A] and values [G, 1] ever leave VMEM.
+
+Weights for the full 6x128 net are ~3.6 MB in bf16 and live in VMEM for the
+whole kernel, giving zero HBM traffic between layers (the XLA path writes
+each layer's [B, 225, C] activations back to HBM at larger batches).
+
+Architecture parity: reference ``network.py:29-117`` (same layer graph);
+numerics match the eval-mode XLA path to bf16 tolerance (tested in
+``tests/test_fused_net.py``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from alphazero_gomoku_tpu.models.resnet import BN_EPS, NetConfig
+
+DEFAULT_TILE = 8  # games per kernel instance
+
+
+# ----------------------------------------------------------------------
+# BN folding (host/jit side, once per parameter update)
+# ----------------------------------------------------------------------
+def _fold(conv_w, bn_p, bn_s):
+    """conv+BN(eval) -> conv' + bias: W' = W * s_out, b = bias - mean * s."""
+    s = bn_p["scale"] / jnp.sqrt(bn_s["var"] + BN_EPS)
+    w = conv_w * s[None, None, None, :]
+    b = bn_p["bias"] - bn_s["mean"] * s
+    return w, b
+
+
+def fold_bn(cfg: NetConfig, params, batch_stats,
+            dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """Fold eval-mode BN into conv weights; stack for the fused kernel.
+
+    Returns a pytree of arrays shaped for ``fused_predict``:
+      stem_w [9, Cin, C], stem_b [C]
+      block_w [L, 2, 9, C, C], block_b [L, 2, C]
+      pol_w [C, 2] pol_b [2]  pol_fc_w [2HW, A] pol_fc_b [A]
+      val_w [C, 1] val_b [1]  val_fc1_w [HW, 64] ... val_fc2_w [64, 1] ...
+    """
+    def conv_to_mats(w):  # [3, 3, Cin, Cout] -> [9, Cin, Cout]
+        return w.reshape(9, w.shape[2], w.shape[3])
+
+    stem_w, stem_b = _fold(params["stem"]["w"], params["stem_bn"],
+                           batch_stats["stem_bn"])
+    bw, bb = [], []
+    for blk, bs in zip(params["blocks"], batch_stats["blocks"]):
+        w1, b1 = _fold(blk["conv1"]["w"], blk["bn1"], bs["bn1"])
+        w2, b2 = _fold(blk["conv2"]["w"], blk["bn2"], bs["bn2"])
+        bw.append(jnp.stack([conv_to_mats(w1), conv_to_mats(w2)]))
+        bb.append(jnp.stack([b1, b2]))
+    pol_w, pol_b = _fold(params["policy_conv"]["w"], params["policy_bn"],
+                         batch_stats["policy_bn"])
+    val_w, val_b = _fold(params["value_conv"]["w"], params["value_bn"],
+                         batch_stats["value_bn"])
+
+    f32 = jnp.float32
+    return {
+        "stem_w": conv_to_mats(stem_w).astype(dtype),
+        "stem_b": stem_b.astype(f32),
+        "block_w": jnp.stack(bw).astype(dtype),
+        "block_b": jnp.stack(bb).astype(f32),
+        "pol_w": pol_w.reshape(pol_w.shape[2], 2).astype(dtype),
+        "pol_b": pol_b.astype(f32),
+        "pol_fc_w": params["policy_fc"]["w"].astype(dtype),
+        "pol_fc_b": params["policy_fc"]["b"].astype(f32),
+        "val_w": val_w.reshape(val_w.shape[2], 1).astype(dtype),
+        "val_b": val_b.astype(f32),
+        "val_fc1_w": params["value_fc1"]["w"].astype(dtype),
+        "val_fc1_b": params["value_fc1"]["b"].astype(f32),
+        "val_fc2_w": params["value_fc2"]["w"].astype(dtype),
+        "val_fc2_b": params["value_fc2"]["b"].astype(f32),
+    }
+
+
+# ----------------------------------------------------------------------
+# reference (plain jnp) folded forward — oracle for the kernel
+# ----------------------------------------------------------------------
+def folded_apply_reference(cfg: NetConfig, folded, obs) -> Tuple[jax.Array, jax.Array]:
+    """Eval forward using folded weights with plain XLA ops (f32 math on
+    bf16-rounded weights); used to validate the Pallas kernel."""
+    h, w = cfg.board_size, cfg.board_size
+
+    def conv3(x, mats, bias):
+        b = x.shape[0]
+        pad = jnp.zeros((b, h + 2, w + 2, x.shape[-1]), jnp.float32)
+        pad = pad.at[:, 1:h + 1, 1:w + 1, :].set(x)
+        out = None
+        for k in range(9):
+            dr, dc = divmod(k, 3)
+            piece = pad[:, dr:dr + h, dc:dc + w, :].reshape(b * h * w, -1)
+            term = jnp.dot(piece, mats[k].astype(jnp.float32),
+                           preferred_element_type=jnp.float32)
+            out = term if out is None else out + term
+        return (out + bias).reshape(b, h, w, -1)
+
+    x = conv3(obs.astype(jnp.float32), folded["stem_w"], folded["stem_b"])
+    x = jax.nn.relu(x)
+    for i in range(cfg.n_res_blocks):
+        r = x
+        x = jax.nn.relu(conv3(x, folded["block_w"][i, 0],
+                              folded["block_b"][i, 0]))
+        x = conv3(x, folded["block_w"][i, 1], folded["block_b"][i, 1])
+        x = jax.nn.relu(x + r)
+
+    b = x.shape[0]
+    flat = x.reshape(b * h * w, -1)
+    p = jax.nn.relu(
+        jnp.dot(flat, folded["pol_w"].astype(jnp.float32)) + folded["pol_b"]
+    ).reshape(b, -1)
+    logits = jnp.dot(p, folded["pol_fc_w"].astype(jnp.float32)) + folded["pol_fc_b"]
+    v = jax.nn.relu(
+        jnp.dot(flat, folded["val_w"].astype(jnp.float32)) + folded["val_b"]
+    ).reshape(b, -1)
+    v = jax.nn.relu(jnp.dot(v, folded["val_fc1_w"].astype(jnp.float32))
+                    + folded["val_fc1_b"])
+    v = jnp.dot(v, folded["val_fc2_w"].astype(jnp.float32)) + folded["val_fc2_b"]
+    return logits, jnp.tanh(v)
+
+
+# ----------------------------------------------------------------------
+# the fused kernel
+# ----------------------------------------------------------------------
+def _fused_kernel(cfg: NetConfig, tile: int,
+                  obs_ref, stem_w, stem_b, block_w, block_b,
+                  pol_w, pol_b, pol_fc_w, pol_fc_b,
+                  val_w, val_b, val_fc1_w, val_fc1_b, val_fc2_w, val_fc2_b,
+                  logits_ref, value_ref, act_a, act_b):
+    h = w = cfg.board_size
+    g = tile
+    rows = g * h * w
+    bf16 = jnp.bfloat16
+    f32 = jnp.float32
+
+    def conv3_from(src_ref, mats_at, bias):
+        """3x3 SAME conv over the padded VMEM buffer: 9 slice-matmuls."""
+        acc = jnp.zeros((rows, mats_at(0).shape[-1]), f32)
+        for k in range(9):
+            dr, dc = divmod(k, 3)
+            piece = src_ref[:, dr:dr + h, dc:dc + w, :].astype(bf16)
+            acc = acc + jnp.dot(
+                piece.reshape(rows, piece.shape[-1]), mats_at(k),
+                preferred_element_type=f32,
+            )
+        return acc + bias
+
+    # zero both padded buffers once; borders stay zero thereafter
+    act_a[:] = jnp.zeros_like(act_a)
+    act_b[:] = jnp.zeros_like(act_b)
+
+    # stem: obs -> C channels. The observation is staged into the first
+    # ``cin`` channel lanes of the padded buffer via a direct ref write
+    # (value-level ``.at[].set`` would lower to an unsupported scatter).
+    cin = obs_ref.shape[-1]
+    act_a[:, 1:h + 1, 1:w + 1, 0:cin] = obs_ref[:].astype(f32)
+    acc = jnp.zeros((rows, stem_w.shape[-1]), f32)
+    for k in range(9):
+        dr, dc = divmod(k, 3)
+        piece = act_a[:, dr:dr + h, dc:dc + w, 0:cin].astype(bf16)
+        acc = acc + jnp.dot(piece.reshape(rows, cin), stem_w[k],
+                            preferred_element_type=f32)
+    x = jax.nn.relu(acc + stem_b[:])
+    act_a[:, 1:h + 1, 1:w + 1, :] = x.reshape(g, h, w, -1)
+
+    # residual tower (python-unrolled; L is small and static)
+    for i in range(cfg.n_res_blocks):
+        y = jax.nn.relu(conv3_from(act_a, lambda k: block_w[i, 0, k],
+                                   block_b[i, 0]))
+        act_b[:, 1:h + 1, 1:w + 1, :] = y.reshape(g, h, w, -1)
+        z = conv3_from(act_b, lambda k: block_w[i, 1, k], block_b[i, 1])
+        res = act_a[:, 1:h + 1, 1:w + 1, :].reshape(rows, -1)
+        x = jax.nn.relu(z + res)
+        act_a[:, 1:h + 1, 1:w + 1, :] = x.reshape(g, h, w, -1)
+
+    flat = act_a[:, 1:h + 1, 1:w + 1, :].reshape(rows, -1).astype(bf16)
+
+    # policy head: 1x1 conv to 2ch + relu -> FC to A logits
+    p = jax.nn.relu(
+        jnp.dot(flat, pol_w[:], preferred_element_type=f32) + pol_b[:]
+    )
+    p = p.reshape(g, h * w * 2).astype(bf16)
+    logits_ref[:] = (
+        jnp.dot(p, pol_fc_w[:], preferred_element_type=f32) + pol_fc_b[:]
+    )
+
+    # value head: 1x1 conv to 1ch + relu -> FC 64 -> FC 1 -> tanh
+    v = jax.nn.relu(
+        jnp.dot(flat, val_w[:], preferred_element_type=f32) + val_b[:]
+    )
+    v = v.reshape(g, h * w).astype(bf16)
+    v = jax.nn.relu(
+        jnp.dot(v, val_fc1_w[:], preferred_element_type=f32) + val_fc1_b[:]
+    ).astype(bf16)
+    v = jnp.dot(v, val_fc2_w[:], preferred_element_type=f32) + val_fc2_b[:]
+    value_ref[:] = jnp.tanh(v)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def fused_predict(cfg: NetConfig, folded, tile: int, obs):
+    """Fused eval forward: obs [B, H, W, Cin] -> (logits [B, A], value [B, 1]).
+
+    ``B`` must be a multiple of ``tile`` (games per kernel instance).
+    """
+    b, h, w, cin = obs.shape
+    if b % tile:
+        raise ValueError(f"batch {b} not divisible by tile {tile}")
+    c = cfg.channels
+    grid = (b // tile,)
+
+    def full(ix=None):
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    weight_names = [
+        "stem_w", "stem_b", "block_w", "block_b",
+        "pol_w", "pol_b", "pol_fc_w", "pol_fc_b",
+        "val_w", "val_b", "val_fc1_w", "val_fc1_b", "val_fc2_w", "val_fc2_b",
+    ]
+    n_dims = {k: folded[k].ndim for k in weight_names}
+    weight_specs = [
+        pl.BlockSpec(folded[k].shape, (lambda nd: lambda i: (0,) * nd)(n_dims[k]),
+                     memory_space=pltpu.VMEM)
+        for k in weight_names
+    ]
+
+    kernel = functools.partial(_fused_kernel, cfg, tile)
+    logits, value = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, h, w, cin), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            *weight_specs,
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, cfg.action_size), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, cfg.action_size), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile, h + 2, w + 2, c), jnp.float32),
+            pltpu.VMEM((tile, h + 2, w + 2, c), jnp.float32),
+        ],
+    )(obs.astype(jnp.float32), *[folded[k] for k in weight_names])
+    return logits, value
+
+
+def make_fused_eval_fn(cfg: NetConfig, tile: int = DEFAULT_TILE):
+    """MCTS eval_fn backed by the fused kernel.
+
+    The bundle is the FOLDED parameter pytree (see :func:`fold_bn`); fold
+    once per parameter update, not per call.
+    """
+
+    def eval_fn(folded, obs):
+        logits, value = fused_predict(cfg, folded, tile, obs)
+        return jax.nn.softmax(logits, axis=-1), value
+
+    return eval_fn

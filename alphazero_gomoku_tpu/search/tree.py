@@ -76,6 +76,30 @@ EvalFn = Callable[[Any, jax.Array], Tuple[jax.Array, jax.Array]]
 
 
 # ----------------------------------------------------------------------
+# noise
+# ----------------------------------------------------------------------
+def symmetric_dirichlet(key: jax.Array, alpha: float, shape) -> jax.Array:
+    """Loop-free symmetric Dirichlet(alpha) sampler over the last axis.
+
+    ``jax.random.dirichlet``'s gamma sampler contains a rejection
+    ``while_loop`` that interacts catastrophically with this module's
+    nested search loops on TPU (measured 60x+ self-play slowdown), so noise
+    is drawn with the boost identity ``Gamma(a) = Gamma(a+1) * U^(1/a)`` in
+    log space and normalized with a softmax (no underflow at tiny alpha).
+    Gamma(a+1) for the small alphas used for root noise (a « 1) is
+    approximated by Exponential(1) = Gamma(1); the ``U^(1/a)`` factor spans
+    tens of nats and dominates, so the approximation error in the
+    normalized sample is negligible for exploration noise.
+    """
+    k_u, k_e = jax.random.split(key)
+    log_u = jnp.log(jax.random.uniform(k_u, shape, jnp.float32,
+                                       minval=1e-30, maxval=1.0))
+    exp = jax.random.exponential(k_e, shape, jnp.float32)
+    log_g = jnp.log(jnp.maximum(exp, 1e-30)) + log_u / alpha
+    return jax.nn.softmax(log_g, axis=-1)
+
+
+# ----------------------------------------------------------------------
 # helpers (single game; callers vmap)
 # ----------------------------------------------------------------------
 def _masked_priors(probs: jax.Array, legal: jax.Array) -> jax.Array:
@@ -258,9 +282,7 @@ def run_mcts(
 
     if cfg.add_noise:
         rng, sub = jax.random.split(rng)
-        noise = jax.random.dirichlet(
-            sub, jnp.full((a,), cfg.dirichlet_alpha, jnp.float32), (batch,)
-        )
+        noise = symmetric_dirichlet(sub, cfg.dirichlet_alpha, (batch, a))
         noised = (1.0 - cfg.dirichlet_epsilon) * priors + cfg.dirichlet_epsilon * noise
         noised = noised / jnp.sum(noised, axis=-1, keepdims=True)
         gate = (move_numbers < cfg.dirichlet_moves)[:, None]

@@ -127,6 +127,7 @@ def train_alphazero(
     use_symmetries: bool = True,
     verbose: bool = True,
     mesh=None,
+    use_fused_inference: bool = False,
 ):
     """Run the training loop; returns a per-iteration history list."""
     del selfplay_num_workers, selfplay_device, selfplay_games_per_task
@@ -165,7 +166,18 @@ def train_alphazero(
         log("[Buffer] starting with an empty buffer")
         buffer = ReplayBuffer(capacity=buffer_size, board_size=board_size)
 
-    eval_fn = make_eval_fn(model_candidate.cfg)
+    if use_fused_inference:
+        from alphazero_gomoku_tpu.ops.fused_net import (
+            fold_bn, make_fused_eval_fn,
+        )
+        eval_fn = make_fused_eval_fn(model_candidate.cfg)
+
+        def search_bundle(model):
+            # fold eval-mode BN into conv weights once per parameter update
+            return fold_bn(model.cfg, model.params, model.batch_stats)
+    else:
+        eval_fn = make_eval_fn(model_candidate.cfg)
+        search_bundle = bundle_of
     sp_cfg = SelfPlayConfig(
         batch_games=games_per_iteration,
         temp_threshold=temp_threshold,
@@ -264,6 +276,8 @@ def train_alphazero(
                 model_dir, f"snapshot_iter{it}_{ts}.ckpt"
             )
             model_best.save(snapshot_path)
+            # stable alias used by the player plugins' default model_path
+            model_best.save(os.path.join(model_dir, "best_latest.ckpt"))
             log(f" saved snapshot: {snapshot_path}")
         save_replay_buffer(buffer, buffer_path)
 

@@ -30,7 +30,8 @@ BASELINE_MOVES_PER_SEC = 8.6  # reference CPU engine @ 400 sims (see header)
 def run_bench(batch_games: int = 64, n_simulations: int = 400,
               board_size: int = 15, n_res_blocks: int = 6,
               channels: int = 128, warmup_moves: int = 8,
-              measure_moves: int = 48, seed: int = 0) -> dict:
+              measure_moves: int = 48, seed: int = 0,
+              dtype: str = "float32", fused: bool = False) -> dict:
     from alphazero_gomoku_tpu.games import make_env
     from alphazero_gomoku_tpu.models import AZModel
     from alphazero_gomoku_tpu.search import MCTSConfig
@@ -41,8 +42,15 @@ def run_bench(batch_games: int = 64, n_simulations: int = 400,
 
     env = make_env("gomoku", board_size)
     model = AZModel(board_size=board_size, n_res_blocks=n_res_blocks,
-                    channels=channels, seed=seed)
-    eval_fn = make_eval_fn(model.cfg)
+                    channels=channels, seed=seed,
+                    compute_dtype=jnp.dtype(dtype))
+    if fused:
+        from alphazero_gomoku_tpu.ops.fused_net import (
+            fold_bn, make_fused_eval_fn,
+        )
+        eval_fn = make_fused_eval_fn(model.cfg)
+    else:
+        eval_fn = make_eval_fn(model.cfg)
     cfg = SelfPlayConfig(
         batch_games=batch_games,
         temp_threshold=10,
@@ -52,17 +60,15 @@ def run_bench(batch_games: int = 64, n_simulations: int = 400,
     )
 
     import functools
-    bundle = bundle_of(model)
+    del warmup_moves  # single compiled program; warmup = first invocation
+    if fused:
+        bundle = fold_bn(model.cfg, model.params, model.batch_stats)
+    else:
+        bundle = bundle_of(model)
 
-    # ---- warmup / compile on a truncated game ------------------------
-    warm_cfg = dataclasses.replace(cfg, max_moves=warmup_moves)
-    warm = jax.jit(functools.partial(play_games, env, warm_cfg, eval_fn))
-    jax.block_until_ready(warm(bundle, jax.random.PRNGKey(1)))
-
-    # ---- measured run ------------------------------------------------
     meas_cfg = dataclasses.replace(cfg, max_moves=measure_moves)
     meas = jax.jit(functools.partial(play_games, env, meas_cfg, eval_fn))
-    jax.block_until_ready(meas(bundle, jax.random.PRNGKey(2)))  # compile T
+    jax.block_until_ready(meas(bundle, jax.random.PRNGKey(2)))  # compile+warm
 
     t0 = time.time()
     traj = meas(bundle, jax.random.PRNGKey(3))

@@ -146,3 +146,32 @@ def test_replay_buffer_ring_and_persistence(tmp_path):
     np.testing.assert_array_equal(np.sort(buf2.zs), np.arange(7, 12))
 
     assert load_replay_buffer(str(tmp_path / "missing.npz"), 10) is None
+
+
+def test_selfplay_pente_end_to_end():
+    """The full lockstep runner works for Pente (captures inside search)."""
+    from alphazero_gomoku_tpu.games.pente import PenteEnv
+
+    env = PenteEnv(7)
+    a = env.num_actions
+
+    def ev(params, obs):
+        b = obs.shape[0]
+        return (jnp.full((b, a), 1.0 / a, jnp.float32),
+                jnp.zeros((b, 1), jnp.float32))
+
+    cfg = SelfPlayConfig(
+        batch_games=4, temp_threshold=4, max_moves=20,
+        mcts=MCTSConfig(n_simulations=8, cpuct=1.0, add_noise=True,
+                        dirichlet_alpha=0.3, dirichlet_epsilon=0.25,
+                        dirichlet_moves=4),
+    )
+    traj = jax.jit(lambda p, k: play_games(env, cfg, ev, p, k))(
+        None, jax.random.PRNGKey(0))
+    active = np.asarray(traj.active)
+    assert active[0].all()
+    states, pis, zs, stats = collect_examples(traj, use_symmetries=False)
+    assert len(zs) == int(active.sum())
+    assert np.isfinite(pis).all()
+    # boards only contain 0/1/2 even with captures applied
+    assert set(np.unique(np.asarray(traj.boards))) <= {0, 1, 2}

@@ -68,6 +68,7 @@ def test_train_loop_end_to_end(tmp_path):
         assert h["buffer_size"] > 0
         assert os.path.exists(h["snapshot"])
     assert os.path.exists(os.path.join(model_dir, "replay_buffer_latest.npz"))
+    assert os.path.exists(os.path.join(model_dir, "best_latest.ckpt"))
     # training actually ran once the buffer was big enough
     assert hist[-1]["loss"] is not None
 
