@@ -68,7 +68,6 @@ class Tree(NamedTuple):
     children: jax.Array  # i32 [N, A], -1 = unexpanded
     parent: jax.Array    # i32 [N], -1 at root
     parent_action: jax.Array  # i32 [N]
-    node_count: jax.Array     # i32 scalar
 
 
 EvalFn = Callable[[Any, jax.Array], Tuple[jax.Array, jax.Array]]
@@ -135,8 +134,16 @@ def _node_state(tree: Tree, idx):
 # ----------------------------------------------------------------------
 # phases
 # ----------------------------------------------------------------------
-def _select_and_expand(env, cfg: MCTSConfig, tree: Tree):
+def _select_and_expand(env, cfg: MCTSConfig, tree: Tree, slot):
     """Walk PUCT argmax to an unexpanded edge or a terminal node; allocate.
+
+    ``slot`` is the node index this simulation writes (``sim_index + 1``).
+    Because every simulation burns exactly one slot and ``slot`` is
+    identical across the vmapped game lanes, all expansion-time writes
+    lower to dense dynamic-update-slices instead of per-lane scatters —
+    the dominant cost class on TPU.  Simulations that stop on an
+    already-terminal node leave their slot orphaned (never linked into
+    ``children``), wasting only capacity they would not have used anyway.
 
     Returns (tree, leaf_index).
     """
@@ -161,31 +168,25 @@ def _select_and_expand(env, cfg: MCTSConfig, tree: Tree):
     )
 
     expanding = action >= 0  # False when we stopped on a terminal node
-    new_idx = tree.node_count
     safe_action = jnp.maximum(action, 0)
     parent_state = _node_state(tree, node)
     child_state = env.step(parent_state, safe_action)
     child_legal = env.legal_mask(child_state)
 
-    # Predicated write: on non-expansion, overwrite the unused slot with the
-    # parent's state (slot stays unused because node_count is not advanced).
+    # Orphan slots get a copy of the parent's (terminal) state; harmless
+    # because nothing ever points at them.
     write_state = jax.tree_util.tree_map(
         lambda a, b: jnp.where(expanding, a, b), child_state, parent_state
     )
-    tree = _write_node(tree, new_idx, write_state, child_legal)
+    tree = _write_node(tree, slot, write_state, child_legal)
     tree = tree._replace(
         children=tree.children.at[node, safe_action].set(
-            jnp.where(expanding, new_idx, tree.children[node, safe_action])
+            jnp.where(expanding, slot, tree.children[node, safe_action])
         ),
-        parent=tree.parent.at[new_idx].set(
-            jnp.where(expanding, node, tree.parent[new_idx])
-        ),
-        parent_action=tree.parent_action.at[new_idx].set(
-            jnp.where(expanding, action, tree.parent_action[new_idx])
-        ),
-        node_count=tree.node_count + expanding.astype(jnp.int32),
+        parent=tree.parent.at[slot].set(jnp.where(expanding, node, -1)),
+        parent_action=tree.parent_action.at[slot].set(action),
     )
-    leaf = jnp.where(expanding, new_idx, node)
+    leaf = jnp.where(expanding, slot, node)
     return tree, leaf
 
 
@@ -241,7 +242,6 @@ def init_tree(env, cfg: MCTSConfig, root_state) -> Tree:
         children=jnp.full((n, a), -1, jnp.int32),
         parent=jnp.full((n,), -1, jnp.int32),
         parent_action=jnp.full((n,), -1, jnp.int32),
-        node_count=jnp.int32(1),
     )
     return _write_node(tree, 0, root_state, env.legal_mask(root_state))
 
@@ -291,9 +291,10 @@ def run_mcts(
     trees = trees._replace(prior=trees.prior.at[:, 0, :].set(priors))
 
     # --- simulations ----------------------------------------------------
-    def one_sim(trees, _):
+    def one_sim(trees, sim_idx):
+        slot = sim_idx + 1  # identical across lanes => dense slice writes
         trees, leaves = jax.vmap(
-            lambda t: _select_and_expand(env, cfg, t)
+            lambda t: _select_and_expand(env, cfg, t, slot)
         )(trees)
         obs = jax.vmap(lambda t, l: env.encode(_node_state(t, l)))(trees, leaves)
         probs, values = eval_fn(net_params, obs)
@@ -304,7 +305,9 @@ def run_mcts(
         )(trees, leaves, probs, values)
         return trees, None
 
-    trees, _ = jax.lax.scan(one_sim, trees, None, length=cfg.n_simulations)
+    trees, _ = jax.lax.scan(
+        one_sim, trees, jnp.arange(cfg.n_simulations, dtype=jnp.int32)
+    )
 
     # --- visit-count policy --------------------------------------------
     counts = trees.visit[:, 0, :]

@@ -213,3 +213,21 @@ def test_from_board_reconstruction():
     g2.do_move((2, 4))
     st2 = env.from_board(g2.board, g2.current_player)
     assert int(st2.winner) == 1 and bool(st2.done)
+
+
+def test_symmetric_dirichlet_distribution():
+    """Loop-free sampler matches numpy's true Dirichlet closely."""
+    from alphazero_gomoku_tpu.search.tree import symmetric_dirichlet
+
+    n, a, alpha = 2048, 225, 0.05
+    s = np.asarray(symmetric_dirichlet(jax.random.PRNGKey(0), alpha, (n, a)))
+    assert s.shape == (n, a)
+    np.testing.assert_allclose(s.sum(1), 1.0, atol=1e-5)
+    assert (s >= 0).all()
+    # symmetric: component means all ~ 1/a
+    np.testing.assert_allclose(s.mean(0), 1.0 / a, atol=2e-3)
+    # spikiness statistic matches the real distribution
+    ref = np.random.default_rng(0).dirichlet([alpha] * a, n)
+    got_med = np.median(s.max(1))
+    ref_med = np.median(ref.max(1))
+    assert abs(got_med - ref_med) < 0.05, (got_med, ref_med)
