@@ -32,6 +32,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--dirichlet-alpha", type=float, default=0.05)
     ap.add_argument("--dirichlet-epsilon", type=float, default=0.15)
     ap.add_argument("--dirichlet-n-moves", type=int, default=10)
+    ap.add_argument("--mcts-max-depth", type=int, default=64,
+                    help="select-walk depth cap (0 = unbounded)")
     ap.add_argument("--n-res-blocks", type=int, default=3)
     ap.add_argument("--channels", type=int, default=64)
     ap.add_argument("--lr", type=float, default=1e-3)
@@ -68,6 +70,7 @@ def main(argv=None):
         dirichlet_alpha=args.dirichlet_alpha,
         dirichlet_epsilon=args.dirichlet_epsilon,
         dirichlet_n_moves=args.dirichlet_n_moves,
+        mcts_max_depth=args.mcts_max_depth,
         n_res_blocks=args.n_res_blocks,
         channels=args.channels,
         lr=args.lr,

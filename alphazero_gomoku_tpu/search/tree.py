@@ -51,20 +51,29 @@ class MCTSConfig:
     dirichlet_moves: int = 10
     add_noise: bool = True
     max_nodes: Optional[int] = None  # default: n_simulations + 1
+    max_depth: int = 0  # 0 = unbounded; see _select docstring
 
     @property
     def node_capacity(self) -> int:
         return self.max_nodes or (self.n_simulations + 1)
 
+    @property
+    def depth_limit(self) -> int:
+        return self.max_depth or self.node_capacity
+
 
 class Tree(NamedTuple):
-    """Array tree for ONE game; batch via vmap (adds a leading axis)."""
+    """Array tree for ONE game; batch via vmap (adds a leading axis).
+
+    Layout notes (TPU): legality is folded into the SIGN of the stored
+    prior (illegal => -1.0), and visit counts and total values share one
+    ``nw [N, 2A]`` tensor (counts in columns :A, W in columns A:), so a
+    select hop gathers two rows instead of four.
+    """
 
     states: Any          # env-state pytree stacked to [N, ...]
-    prior: jax.Array     # f32 [N, A]
-    visit: jax.Array     # f32 [N, A]
-    total_w: jax.Array   # f32 [N, A]
-    legal: jax.Array     # bool [N, A]
+    prior: jax.Array     # f32 [N, A]; -1.0 marks an illegal action
+    nw: jax.Array        # f32 [N, 2A]: [:, :A] visit counts, [:, A:] total W
     children: jax.Array  # i32 [N, A], -1 = unexpanded
     parent: jax.Array    # i32 [N], -1 at root
     parent_action: jax.Array  # i32 [N]
@@ -111,20 +120,27 @@ def _masked_priors(probs: jax.Array, legal: jax.Array) -> jax.Array:
 
 
 def _puct_scores(tree: Tree, node, cpuct: float) -> jax.Array:
-    n = tree.visit[node]
-    w = tree.total_w[node]
-    p = tree.prior[node]
-    legal = tree.legal[node]
+    a = tree.prior.shape[-1]
+    nw_row = tree.nw[node]
+    n, w = nw_row[:a], nw_row[a:]
+    p_signed = tree.prior[node]
+    p = jnp.maximum(p_signed, 0.0)
     sqrt_sum = jnp.sqrt(jnp.sum(n))
     scores = w / (1.0 + n) + cpuct * p * sqrt_sum / (1.0 + n)
-    return jnp.where(legal, scores, NEG_INF)
+    return jnp.where(p_signed >= 0.0, scores, NEG_INF)
 
 
-def _write_node(tree: Tree, idx, state, legal) -> Tree:
+def _write_node(tree: Tree, idx, state) -> Tree:
     states = jax.tree_util.tree_map(
         lambda stack, s: stack.at[idx].set(s), tree.states, state
     )
-    return tree._replace(states=states, legal=tree.legal.at[idx].set(legal))
+    return tree._replace(states=states)
+
+
+def _signed_priors(probs, legal_f32):
+    """Masked/renormalized priors with illegality in the sign (-1.0)."""
+    p = _masked_priors(probs, legal_f32)
+    return jnp.where(legal_f32 > 0, p, -1.0)
 
 
 def _node_state(tree: Tree, idx):
@@ -145,26 +161,37 @@ def _select_and_expand(env, cfg: MCTSConfig, tree: Tree, slot):
     already-terminal node leave their slot orphaned (never linked into
     ``children``), wasting only capacity they would not have used anyway.
 
-    Returns (tree, leaf_index).
+    ``cfg.max_depth`` (if set) truncates the walk: a simulation reaching the
+    cap treats the (already-evaluated, non-terminal) node it stopped on as
+    its leaf — the lockstep evaluator then re-evaluates that node and backs
+    up its own network value, adding visits along the path prefix.  This
+    bounds the O(sims * pv_length) walk blow-up when the search concentrates
+    on one deep principal variation (conscious delta from the reference,
+    which walks unboundedly; see DECISIONS.md).
+
+    Returns (tree, leaf_index, leaf_legal_mask).
     """
 
     def cond(carry):
-        node, _, stop = carry
+        node, _, stop, _ = carry
         return ~stop
 
     def body(carry):
-        node, _, _ = carry
+        node, _, _, depth = carry
         done = tree.states.done[node]
+        capped = depth >= cfg.depth_limit
         scores = _puct_scores(tree, node, cfg.cpuct)
         action = jnp.argmax(scores).astype(jnp.int32)
         child = tree.children[node, action]
-        # stop when: terminal node, or chosen edge has no child yet
-        stop_here = done | (child == -1)
+        # stop when: terminal node, depth cap, or unexpanded edge
+        stop_here = done | capped | (child == -1)
         nxt = jnp.where(stop_here, node, child)
-        return (nxt, jnp.where(done, -1, action), stop_here)
+        return (nxt, jnp.where(done | capped, -1, action), stop_here,
+                depth + 1)
 
-    node, action, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.int32(-1), jnp.bool_(False))
+    node, action, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(-1), jnp.bool_(False),
+                     jnp.int32(0))
     )
 
     expanding = action >= 0  # False when we stopped on a terminal node
@@ -178,7 +205,7 @@ def _select_and_expand(env, cfg: MCTSConfig, tree: Tree, slot):
     write_state = jax.tree_util.tree_map(
         lambda a, b: jnp.where(expanding, a, b), child_state, parent_state
     )
-    tree = _write_node(tree, slot, write_state, child_legal)
+    tree = _write_node(tree, slot, write_state)
     tree = tree._replace(
         children=tree.children.at[node, safe_action].set(
             jnp.where(expanding, slot, tree.children[node, safe_action])
@@ -187,40 +214,46 @@ def _select_and_expand(env, cfg: MCTSConfig, tree: Tree, slot):
         parent_action=tree.parent_action.at[slot].set(action),
     )
     leaf = jnp.where(expanding, slot, node)
-    return tree, leaf
+    return tree, leaf, child_legal
 
 
-def _apply_eval_and_backup(env, tree: Tree, leaf, probs, value) -> Tree:
-    """Store NN priors at the leaf (if non-terminal) and back up the value."""
+def _apply_eval_and_backup(env, tree: Tree, leaf, slot, probs, value,
+                           child_legal) -> Tree:
+    """Store NN priors at the fresh slot and back up the leaf value.
+
+    The prior write targets ``slot`` unconditionally (lane-uniform index =>
+    dense slice write); when the simulation stopped on a terminal node the
+    slot is an orphan, so the junk priors are unreachable.
+    """
     leaf_state = _node_state(tree, leaf)
     terminal = leaf_state.done
     leaf_value = jnp.where(
         terminal, env.terminal_value(leaf_state), value
     ).astype(jnp.float32)
 
-    priors = _masked_priors(probs, tree.legal[leaf].astype(probs.dtype))
-    tree = tree._replace(
-        prior=tree.prior.at[leaf].set(
-            jnp.where(terminal, tree.prior[leaf], priors)
-        )
-    )
+    priors = _signed_priors(probs, child_legal.astype(probs.dtype))
+    tree = tree._replace(prior=tree.prior.at[slot].set(priors))
+
+    a_count = tree.prior.shape[-1]
 
     # walk to the root, flipping perspective at each hop
     def cond(carry):
-        node, _, _, _ = carry
+        node, _, _ = carry
         return tree.parent[node] != -1
 
     def body(carry):
-        node, v, visit, total_w = carry
+        node, v, nw = carry
         p = tree.parent[node]
         a = tree.parent_action[node]
         v = -v
-        return (p, v, visit.at[p, a].add(1.0), total_w.at[p, a].add(v))
+        nw = nw.at[p, a].add(1.0)
+        nw = nw.at[p, a_count + a].add(v)
+        return (p, v, nw)
 
-    _, _, visit, total_w = jax.lax.while_loop(
-        cond, body, (leaf, leaf_value, tree.visit, tree.total_w)
+    _, _, nw = jax.lax.while_loop(
+        cond, body, (leaf, leaf_value, tree.nw)
     )
-    return tree._replace(visit=visit, total_w=total_w)
+    return tree._replace(nw=nw)
 
 
 # ----------------------------------------------------------------------
@@ -235,15 +268,13 @@ def init_tree(env, cfg: MCTSConfig, root_state) -> Tree:
     )
     tree = Tree(
         states=stack,
-        prior=jnp.zeros((n, a), jnp.float32),
-        visit=jnp.zeros((n, a), jnp.float32),
-        total_w=jnp.zeros((n, a), jnp.float32),
-        legal=jnp.zeros((n, a), jnp.bool_),
+        prior=jnp.full((n, a), -1.0, jnp.float32),
+        nw=jnp.zeros((n, 2 * a), jnp.float32),
         children=jnp.full((n, a), -1, jnp.int32),
         parent=jnp.full((n,), -1, jnp.int32),
         parent_action=jnp.full((n,), -1, jnp.int32),
     )
-    return _write_node(tree, 0, root_state, env.legal_mask(root_state))
+    return _write_node(tree, 0, root_state)
 
 
 def run_mcts(
@@ -277,7 +308,7 @@ def run_mcts(
     root_obs = jax.vmap(env.encode)(root_states)
     root_probs, _ = eval_fn(net_params, root_obs)
     root_probs = root_probs.reshape(batch, a)
-    root_legal = jax.vmap(lambda t: t.legal[0])(trees).astype(root_probs.dtype)
+    root_legal = jax.vmap(env.legal_mask)(root_states).astype(root_probs.dtype)
     priors = jax.vmap(_masked_priors)(root_probs, root_legal)
 
     if cfg.add_noise:
@@ -288,12 +319,13 @@ def run_mcts(
         gate = (move_numbers < cfg.dirichlet_moves)[:, None]
         priors = jnp.where(gate, noised, priors)
 
-    trees = trees._replace(prior=trees.prior.at[:, 0, :].set(priors))
+    signed = jnp.where(root_legal > 0, priors, -1.0)
+    trees = trees._replace(prior=trees.prior.at[:, 0, :].set(signed))
 
     # --- simulations ----------------------------------------------------
     def one_sim(trees, sim_idx):
         slot = sim_idx + 1  # identical across lanes => dense slice writes
-        trees, leaves = jax.vmap(
+        trees, leaves, child_legal = jax.vmap(
             lambda t: _select_and_expand(env, cfg, t, slot)
         )(trees)
         obs = jax.vmap(lambda t, l: env.encode(_node_state(t, l)))(trees, leaves)
@@ -301,8 +333,9 @@ def run_mcts(
         probs = probs.reshape(batch, a)
         values = values.reshape(batch)
         trees = jax.vmap(
-            lambda t, l, p, v: _apply_eval_and_backup(env, t, l, p, v)
-        )(trees, leaves, probs, values)
+            lambda t, l, p, v, cl: _apply_eval_and_backup(
+                env, t, l, slot, p, v, cl)
+        )(trees, leaves, probs, values, child_legal)
         return trees, None
 
     trees, _ = jax.lax.scan(
@@ -310,9 +343,10 @@ def run_mcts(
     )
 
     # --- visit-count policy --------------------------------------------
-    counts = trees.visit[:, 0, :]
+    counts = trees.nw[:, 0, :a]
     totals = jnp.sum(counts, axis=-1, keepdims=True)
-    legal = trees.legal[:, 0, :].astype(jnp.float32)
-    uniform = legal / jnp.maximum(jnp.sum(legal, axis=-1, keepdims=True), 1.0)
+    legal01 = (trees.prior[:, 0, :] >= 0.0).astype(jnp.float32)
+    uniform = legal01 / jnp.maximum(
+        jnp.sum(legal01, axis=-1, keepdims=True), 1.0)
     pi = jnp.where(totals > 0, counts / jnp.maximum(totals, 1e-30), uniform)
     return pi

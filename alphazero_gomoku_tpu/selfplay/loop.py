@@ -105,6 +105,7 @@ def train_alphazero(
     dirichlet_alpha: float = 0.03,
     dirichlet_epsilon: float = 0.25,
     dirichlet_n_moves: int = 30,
+    mcts_max_depth: int = 64,          # select-walk cap (0 = unbounded)
     # --- network (reference trainer defaults: 3 blocks / 64 ch) ---
     n_res_blocks: int = 3,
     channels: int = 64,
@@ -189,10 +190,12 @@ def train_alphazero(
             dirichlet_epsilon=dirichlet_epsilon,
             dirichlet_moves=dirichlet_n_moves,
             add_noise=True,
+            max_depth=mcts_max_depth,
         ),
     )
     arena_cfg = MCTSConfig(
-        n_simulations=eval_mcts_simulations, cpuct=cpuct, add_noise=False
+        n_simulations=eval_mcts_simulations, cpuct=cpuct, add_noise=False,
+        max_depth=mcts_max_depth,
     )
     selfplay_jit = jax.jit(
         functools.partial(play_games, env, sp_cfg, eval_fn)

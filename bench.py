@@ -56,7 +56,8 @@ def run_bench(batch_games: int = 64, n_simulations: int = 400,
         temp_threshold=10,
         mcts=MCTSConfig(n_simulations=n_simulations, cpuct=1.0,
                         add_noise=True, dirichlet_alpha=0.05,
-                        dirichlet_epsilon=0.15, dirichlet_moves=10),
+                        dirichlet_epsilon=0.15, dirichlet_moves=10,
+                        max_depth=56),
     )
 
     import functools
@@ -68,7 +69,11 @@ def run_bench(batch_games: int = 64, n_simulations: int = 400,
 
     meas_cfg = dataclasses.replace(cfg, max_moves=measure_moves)
     meas = jax.jit(functools.partial(play_games, env, meas_cfg, eval_fn))
-    jax.block_until_ready(meas(bundle, jax.random.PRNGKey(2)))  # compile+warm
+    # warm up with a TRUE sync: fetch a result value. (block_until_ready is
+    # not a real barrier on tunneled devices; timing after it would include
+    # the tail of the warm-up execution.)
+    warm = meas(bundle, jax.random.PRNGKey(2))
+    int(np.asarray(jnp.sum(warm.moves_played)))
 
     t0 = time.time()
     traj = meas(bundle, jax.random.PRNGKey(3))
