@@ -74,10 +74,25 @@ class AlphaZeroPlayer:
              last_opponent_move) -> Optional[Tuple[int, int]]:
         raw = np.asarray(board if isinstance(board, (list, np.ndarray))
                          else board.board, dtype=np.int8)
-        stones1 = int((raw == 1).sum())
-        stones2 = int((raw == 2).sum())
-        to_move = 1 if stones1 == stones2 else 2
-        state = self.env.from_board(raw, to_move)
+        if self.rules == "gomoku":
+            # stone counting is exact for Gomoku (nothing is ever removed)
+            stones1 = int((raw == 1).sum())
+            to_move = 1 if stones1 == int((raw == 2).sum()) else 2
+        else:
+            # Pente captures remove stones, so counting is unreliable; use
+            # turn parity like the reference (players/player.py:68).  The
+            # encoding is perspective-invariant, so a mislabel is harmless.
+            # NOTE: capture counts are not recoverable from a raw board;
+            # they start at 0 here (protocol limitation — the reference's
+            # players reject Pente outright).
+            to_move = 1 if turn_number % 2 == 0 else 2
+        captures = getattr(board, "captures", None)
+        if self.rules == "pente" and isinstance(captures, dict):
+            state = self.env.from_board(
+                raw, to_move, captures=(captures.get(1, 0), captures.get(2, 0))
+            )
+        else:
+            state = self.env.from_board(raw, to_move)
         if bool(state.done):
             return None
         pi = np.asarray(

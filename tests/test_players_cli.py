@@ -107,3 +107,29 @@ def test_cli_match_and_tournament(tmp_path, monkeypatch, capsys):
     assert data["starting_player_per_game"]["game_1"] == "player_mcts"
     g1_moves = data["move_made"]["player_mcts"]["game_1"]
     assert len(g1_moves) >= 1
+
+
+def test_alpha_player_gomoku_and_pente(tmp_path):
+    """AlphaZero player plugin works for both games with random weights."""
+    from alphazero_gomoku_tpu.players.alpha_base import AlphaZeroPlayer
+
+    p = AlphaZeroPlayer("gomoku", 9, n_simulations=8, model_path=None,
+                        n_res_blocks=1, channels=8)
+    g = Gomoku(9)
+    g.do_move((4, 4))
+    mv = p.play(g.clone(), 1, (4, 4))
+    assert mv is not None and g.board[mv] == 0
+
+    pp = AlphaZeroPlayer("pente", 9, n_simulations=8, model_path=None,
+                        n_res_blocks=1, channels=8)
+    pg = Pente(9)
+    for m in [(4, 4), (4, 5), (0, 0), (4, 6), (4, 7)]:  # includes a capture
+        pg.do_move(m)
+    mv2 = pp.play(pg.clone(), 5, (4, 7))
+    assert mv2 is not None and pg.board[mv2] == 0
+    # finished game -> None
+    g2 = Gomoku(9)
+    for k in range(4):
+        g2.do_move((4, k)); g2.do_move((8, k))
+    g2.do_move((4, 4))
+    assert p.play(g2.clone(), 9, (4, 4)) is None
