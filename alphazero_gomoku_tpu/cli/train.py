@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--next-iteration-continuation", type=int, default=1)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--no-symmetries", action="store_true")
+    ap.add_argument("--selfplay-mode", default="lockstep",
+                    choices=["lockstep", "continuous"])
+    ap.add_argument("--selfplay-steps", type=int, default=0,
+                    help="continuous-mode plies per iteration (0 = board^2)")
     return ap
 
 
@@ -77,6 +81,8 @@ def main(argv=None):
         weight_decay=args.weight_decay,
         seed=args.seed,
         use_symmetries=not args.no_symmetries,
+        selfplay_mode=args.selfplay_mode,
+        selfplay_steps=args.selfplay_steps,
     )
     return 0
 

@@ -44,7 +44,9 @@ from alphazero_gomoku_tpu.selfplay.buffer import (
 from alphazero_gomoku_tpu.selfplay.runner import (
     SelfPlayConfig,
     collect_examples,
+    collect_examples_continuous,
     play_games,
+    play_games_continuous,
 )
 
 
@@ -129,6 +131,8 @@ def train_alphazero(
     verbose: bool = True,
     mesh=None,
     use_fused_inference: bool = False,
+    selfplay_mode: str = "lockstep",   # or "continuous" (auto-reset lanes)
+    selfplay_steps: int = 0,           # continuous mode plies (0 = board^2)
 ):
     """Run the training loop; returns a per-iteration history list."""
     del selfplay_num_workers, selfplay_device, selfplay_games_per_task
@@ -197,9 +201,20 @@ def train_alphazero(
         n_simulations=eval_mcts_simulations, cpuct=cpuct, add_noise=False,
         max_depth=mcts_max_depth,
     )
-    selfplay_jit = jax.jit(
-        functools.partial(play_games, env, sp_cfg, eval_fn)
-    )
+    if selfplay_mode == "continuous":
+        steps = selfplay_steps or env.num_actions
+        selfplay_jit = jax.jit(functools.partial(
+            play_games_continuous, env, sp_cfg, eval_fn,
+            total_steps=steps,
+        ))
+        collect = collect_examples_continuous
+    elif selfplay_mode == "lockstep":
+        selfplay_jit = jax.jit(
+            functools.partial(play_games, env, sp_cfg, eval_fn)
+        )
+        collect = collect_examples
+    else:
+        raise ValueError(f"unknown selfplay_mode: {selfplay_mode!r}")
 
     rng_np = np.random.default_rng(seed)
     history = []
@@ -213,13 +228,20 @@ def train_alphazero(
 
         # ---- phase 1: self-play --------------------------------------
         t0 = time.time()
-        traj = selfplay_jit(bundle_of(model_candidate),
+        traj = selfplay_jit(search_bundle(model_candidate),
                             jax.random.PRNGKey(seed * 100003 + it))
-        states, pis, zs, winners = collect_examples(
+        states, pis, zs, winners = collect(
             traj, use_symmetries=use_symmetries
         )
         buffer.add(states, pis, zs)
-        n_moves = int(np.asarray(traj.moves_played).sum())
+        if selfplay_mode == "continuous":
+            n_moves = int(np.asarray(traj.ended).size)
+            if len(zs) == 0:
+                log("[selfplay] WARNING: no game finished within "
+                    f"{selfplay_steps or env.num_actions} plies — all "
+                    "records dropped; raise selfplay_steps")
+        else:
+            n_moves = int(np.asarray(traj.moves_played).sum())
         sp_dt = time.time() - t0
         log(f"self-play done: {sp_dt:.1f}s, {n_moves} moves "
             f"({n_moves / max(sp_dt, 1e-9):.1f} moves/s), winners={winners}, "
@@ -253,7 +275,7 @@ def train_alphazero(
         try:
             new_wins, win_rate, draws = evaluate_params(
                 env, arena_cfg, eval_fn,
-                bundle_of(model_candidate), bundle_of(model_best),
+                search_bundle(model_candidate), search_bundle(model_best),
                 eval_games, jax.random.PRNGKey(seed * 7919 + it),
             )
         except Exception as e:  # keep training alive (reference behaviour)

@@ -64,8 +64,11 @@ def sample_actions(pi: jax.Array, temp: jax.Array, legal: jax.Array,
 
     ``pi^(1/T)`` categorical when T > 0, argmax when T <= 0; samples that
     land on illegal actions fall back to argmax (``train.py:379-382``).
+    ``temp`` may be a scalar (lockstep plies) or per-game ``[B]``.
     """
-    logits = jnp.log(pi + 1e-15) / jnp.maximum(temp, 1e-8)
+    temp = jnp.asarray(temp, jnp.float32)
+    tcol = temp[:, None] if temp.ndim == 1 else temp
+    logits = jnp.log(pi + 1e-15) / jnp.maximum(tcol, 1e-8)
     sampled = jax.random.categorical(rng, logits, axis=-1)
     greedy = jnp.argmax(pi, axis=-1)
     take_greedy = (temp <= 0.0) | ~jnp.take_along_axis(
@@ -187,5 +190,130 @@ def collect_examples(
         0: int((winners == 0).sum()),
         1: int((winners == 1).sum()),
         2: int((winners == 2).sum()),
+    }
+    return states, flat_pis, flat_z, stats
+
+
+# ----------------------------------------------------------------------
+# continuous (auto-reset) self-play
+# ----------------------------------------------------------------------
+class ContinuousRecords(NamedTuple):
+    """Per-ply records of an auto-reset stream ([T, B, ...]).
+
+    Unlike :class:`Trajectories`, every ply of every lane is a real move:
+    finished games reset to fresh ones in place, so there is no lockstep
+    tail where finished lanes idle.  Game boundaries are marked by
+    ``ended`` and the outcome of the segment is read from ``winners`` at
+    the boundary ply.
+    """
+
+    boards: jax.Array    # int8 [T, B, H, W] board BEFORE the move
+    players: jax.Array   # int32 [T, B] player to move
+    pis: jax.Array       # f32 [T, B, A]
+    ended: jax.Array     # bool [T, B] game finished (or hit cap) on this ply
+    winners: jax.Array   # int32 [T, B] winner where ended (0 = draw/cap)
+
+
+def play_games_continuous(
+    env,
+    cfg: SelfPlayConfig,
+    eval_fn: EvalFn,
+    net_params,
+    rng: jax.Array,
+    total_steps: int,
+) -> ContinuousRecords:
+    """Advance B lanes for ``total_steps`` plies with in-place game resets.
+
+    Per-lane move counters drive the temperature schedule and the Dirichlet
+    gate (games in one batch sit at different plies after resets).  A lane
+    reaching ``cfg.max_moves`` without a result is reset and scored a draw,
+    mirroring the reference's move cap (``train.py:392``).
+    """
+    batch = cfg.batch_games
+    max_moves = cfg.resolved_max_moves(env)
+    fresh = env.init_batch(batch)
+
+    def one_ply(carry, _):
+        states, rng = carry
+        rng, k_search, k_sample = jax.random.split(rng, 3)
+
+        pi = run_mcts(env, cfg.mcts, eval_fn, net_params, states,
+                      states.move_count, k_search)
+        temp = jnp.maximum(
+            0.0, 1.0 - states.move_count.astype(jnp.float32)
+            / cfg.temp_threshold
+        )
+        legal = jax.vmap(env.legal_mask)(states)
+        actions = sample_actions(pi, temp, legal, k_sample)
+
+        record_board = states.board
+        record_player = states.to_move
+
+        states = jax.vmap(env.step)(states, actions)
+        capped = states.move_count >= max_moves
+        ended = states.done | capped
+        winners = jnp.where(states.done, states.winner, 0)
+
+        # reset finished lanes in place
+        states = jax.tree_util.tree_map(
+            lambda f, s: jnp.where(
+                ended.reshape((-1,) + (1,) * (s.ndim - 1)), f, s
+            ),
+            fresh, states,
+        )
+        return (states, rng), (record_board, record_player, pi, ended, winners)
+
+    (_, _), (boards, players, pis, ended, winners) = jax.lax.scan(
+        one_ply, (env.init_batch(batch), rng), None, length=total_steps
+    )
+    return ContinuousRecords(boards=boards, players=players, pis=pis,
+                             ended=ended, winners=winners)
+
+
+def collect_examples_continuous(
+    rec: ContinuousRecords, use_symmetries: bool = True
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, dict]:
+    """Assign z per record from its game segment's outcome (host side).
+
+    Records belonging to games still unfinished at the end of the stream
+    are dropped (their outcome is unknown).
+    """
+    boards = np.asarray(rec.boards)
+    players = np.asarray(rec.players)
+    pis = np.asarray(rec.pis)
+    ended = np.asarray(rec.ended)
+    winners = np.asarray(rec.winners)
+    t, b = ended.shape
+
+    # for each ply, the winner at the NEXT game boundary in its lane
+    win_fwd = np.zeros((t, b), np.int32)
+    has_end = np.zeros((t, b), bool)
+    nxt_w = np.zeros(b, np.int32)
+    nxt_has = np.zeros(b, bool)
+    for step in range(t - 1, -1, -1):
+        nxt_w = np.where(ended[step], winners[step], nxt_w)
+        nxt_has = ended[step] | nxt_has
+        win_fwd[step] = nxt_w
+        has_end[step] = nxt_has
+
+    z = np.where(win_fwd == 0, 0.0,
+                 np.where(win_fwd == players, 1.0, -1.0)).astype(np.float32)
+
+    mask = has_end.reshape(-1)
+    states = encode_board_np(
+        boards.reshape(-1, *boards.shape[2:]), players.reshape(-1)
+    )[mask]
+    flat_pis = pis.reshape(-1, pis.shape[-1])[mask].astype(np.float32)
+    flat_z = z.reshape(-1)[mask]
+
+    if use_symmetries:
+        states, flat_pis = expand_symmetries_batch_np(states, flat_pis)
+        flat_z = np.tile(flat_z, 8)
+
+    w_at_ends = winners[ended]
+    stats = {
+        0: int((w_at_ends == 0).sum()),
+        1: int((w_at_ends == 1).sum()),
+        2: int((w_at_ends == 2).sum()),
     }
     return states, flat_pis, flat_z, stats

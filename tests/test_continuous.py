@@ -1,0 +1,117 @@
+"""Continuous (auto-reset) self-play runner tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from alphazero_gomoku_tpu.games.gomoku import GomokuEnv
+from alphazero_gomoku_tpu.search import MCTSConfig
+from alphazero_gomoku_tpu.selfplay.runner import (
+    SelfPlayConfig,
+    collect_examples_continuous,
+    play_games_continuous,
+)
+
+from test_mcts import fake_eval_jax
+
+SIZE = 7
+A = SIZE * SIZE
+
+
+def run(total_steps=40, batch=4, seed=0, max_moves=0):
+    env = GomokuEnv(SIZE)
+    cfg = SelfPlayConfig(
+        batch_games=batch, temp_threshold=5, max_moves=max_moves,
+        mcts=MCTSConfig(n_simulations=10, cpuct=1.25, add_noise=True,
+                        dirichlet_alpha=0.3, dirichlet_epsilon=0.25,
+                        dirichlet_moves=6),
+    )
+    rec = jax.jit(
+        lambda p, k: play_games_continuous(env, cfg, fake_eval_jax, p, k,
+                                           total_steps)
+    )(None, jax.random.PRNGKey(seed))
+    return rec
+
+
+def test_stream_shape_and_segments():
+    t = 60
+    rec = run(total_steps=t)
+    ended = np.asarray(rec.ended)
+    boards = np.asarray(rec.boards)
+    players = np.asarray(rec.players)
+    pis = np.asarray(rec.pis)
+    assert ended.shape == (t, 4)
+    # every lane finished at least one game in 60 plies of 7x7
+    assert ended.any(axis=0).all()
+    for lane in range(4):
+        # after each end the next record is a fresh (empty) board
+        for step in range(t - 1):
+            if ended[step, lane]:
+                assert (boards[step + 1, lane] == 0).all()
+                assert players[step + 1, lane] == 1
+        # move counts restart: players alternate within each segment
+        seg_start = 0
+        for step in range(t):
+            expect = (step - seg_start) % 2 + 1
+            assert players[step, lane] == expect
+            if ended[step, lane]:
+                seg_start = step + 1
+        # every ply is a real move with a proper distribution
+        np.testing.assert_allclose(pis[:, lane].sum(-1), 1.0, atol=1e-4)
+
+
+def test_collect_examples_continuous_z():
+    rec = run(total_steps=60)
+    states, pis, zs, stats = collect_examples_continuous(
+        rec, use_symmetries=False)
+    ended = np.asarray(rec.ended)
+    winners = np.asarray(rec.winners)
+    players = np.asarray(rec.players)
+    t, b = ended.shape
+    # count = records up to (incl.) each lane's last end
+    expected = 0
+    for lane in range(b):
+        ends = np.nonzero(ended[:, lane])[0]
+        assert len(ends) > 0
+        expected += ends[-1] + 1
+    assert len(zs) == expected
+    assert sum(stats.values()) == int(ended.sum())
+    # spot-check the first segment of lane 0
+    lane = 0
+    end0 = np.nonzero(ended[:, lane])[0][0]
+    w = winners[end0, lane]
+    for step in range(end0 + 1):
+        exp = 0.0 if w == 0 else (1.0 if w == players[step, lane] else -1.0)
+        # find this record's position in the flattened masked order:
+        # records are flattened T-major over (T, B) with a boolean mask —
+        # reconstruct the mask to locate it
+    # simpler: rebuild mask and z directly
+    has_end = np.zeros((t, b), bool)
+    nxt = np.zeros(b, bool)
+    win_fwd = np.zeros((t, b), np.int32)
+    nw = np.zeros(b, np.int32)
+    for step in range(t - 1, -1, -1):
+        nw = np.where(ended[step], winners[step], nw)
+        nxt = ended[step] | nxt
+        win_fwd[step] = nw
+        has_end[step] = nxt
+    zexp = np.where(win_fwd == 0, 0.0,
+                    np.where(win_fwd == players, 1.0, -1.0)).astype(np.float32)
+    np.testing.assert_array_equal(zs, zexp.reshape(-1)[has_end.reshape(-1)])
+
+
+def test_move_cap_scores_draw():
+    rec = run(total_steps=12, max_moves=6)
+    ended = np.asarray(rec.ended)
+    winners = np.asarray(rec.winners)
+    # with a 6-move cap on 7x7, games end by cap (winner 0) at move 6
+    assert ended[5].all() and ended[11].all()
+    assert (winners[5] == 0).all()
+
+
+def test_symmetry_expansion_continuous():
+    rec = run(total_steps=30)
+    s1, p1, z1, _ = collect_examples_continuous(rec, use_symmetries=False)
+    s8, p8, z8, _ = collect_examples_continuous(rec, use_symmetries=True)
+    assert len(z8) == 8 * len(z1)
+    np.testing.assert_array_equal(z8[:len(z1)], z1)

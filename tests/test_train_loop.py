@@ -82,3 +82,19 @@ def test_train_loop_end_to_end(tmp_path):
     )
     assert hist2[0]["iteration"] == 3
     assert hist2[0]["buffer_size"] >= hist[-1]["buffer_size"]
+
+
+@pytest.mark.slow
+def test_train_loop_continuous_mode(tmp_path):
+    hist = train_alphazero(
+        game_name="gomoku", board_size=SIZE,
+        num_iterations=1, games_per_iteration=4,
+        n_simulations=8, buffer_size=2000, batch_size=64,
+        epochs_per_iter=1, temp_threshold=4,
+        eval_games=2, eval_mcts_simulations=8,
+        n_res_blocks=1, channels=8,
+        model_dir=str(tmp_path / "m"), seed=1, verbose=False,
+        selfplay_mode="continuous", selfplay_steps=30,
+    )
+    assert hist[0]["moves"] == 4 * 30  # every ply is a real move
+    assert hist[0]["buffer_size"] > 0
