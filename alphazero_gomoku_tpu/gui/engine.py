@@ -68,9 +68,15 @@ def run_engine(game_name: str = "gomoku", size: int = 15,
                     if move is None:
                         time.sleep(POLL_SECONDS)
             else:
-                move = bot.play(game.clone(), turn_number, game.last_move)
-                if move is None:
-                    print(f"bot (seat {seat}) resigned")
+                move = None
+                for _ in range(20):  # forfeit misbehaving bots (cf. cli/play)
+                    move = bot.play(game.clone(), turn_number, game.last_move)
+                    if move is not None and game.board[tuple(move)] == 0:
+                        break
+                    print(f"bot (seat {seat}) gave invalid move {move}")
+                else:
+                    # 20 invalid/None moves in a row: resign/forfeit
+                    print(f"bot (seat {seat}) forfeits")
                     break
             if game.do_move(move):
                 turn_number += 1

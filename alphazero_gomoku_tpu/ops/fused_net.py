@@ -223,11 +223,17 @@ def _fused_kernel(cfg: NetConfig, tile: int,
 def fused_predict(cfg: NetConfig, folded, tile: int, obs):
     """Fused eval forward: obs [B, H, W, Cin] -> (logits [B, A], value [B, 1]).
 
-    ``B`` must be a multiple of ``tile`` (games per kernel instance).
+    Batches that are not a multiple of ``tile`` are zero-padded up and the
+    outputs sliced back (padding cost is one partial tile).
     """
     b, h, w, cin = obs.shape
+    orig_b = b
     if b % tile:
-        raise ValueError(f"batch {b} not divisible by tile {tile}")
+        pad = tile - (b % tile)
+        obs = jnp.concatenate(
+            [obs, jnp.zeros((pad, h, w, cin), obs.dtype)], axis=0
+        )
+        b = obs.shape[0]
     c = cfg.channels
     grid = (b // tile,)
 
@@ -270,7 +276,7 @@ def fused_predict(cfg: NetConfig, folded, tile: int, obs):
             pltpu.VMEM((tile, h + 2, w + 2, c), jnp.float32),
         ],
     )(obs.astype(jnp.float32), *[folded[k] for k in weight_names])
-    return logits, value
+    return logits[:orig_b], value[:orig_b]
 
 
 def make_fused_eval_fn(cfg: NetConfig, tile: int = DEFAULT_TILE):

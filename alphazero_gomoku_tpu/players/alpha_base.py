@@ -30,6 +30,24 @@ from alphazero_gomoku_tpu.search import MCTSConfig, run_mcts
 from alphazero_gomoku_tpu.selfplay.loop import bundle_of, make_eval_fn
 
 
+def infer_to_move(board: np.ndarray, captures=(0, 0)) -> int:
+    """Exact side-to-move from stones + captured-pair counts.
+
+    Each move adds one stone of the mover; each captured pair removes two
+    OPPONENT stones, so ``moves_by_p = stones_of_p + 2 * pairs_captured_BY_
+    opponent``.  P1 moved first, hence P1 is to move iff the move counts are
+    equal.  (Turn-number parity is unreliable: the reference's callers
+    disagree on the convention — ``play.py`` pre-increments to 1, the
+    tournament runner doesn't count its random opening, the GUI passes
+    moves-played.)
+    """
+    stones1 = int((board == 1).sum())
+    stones2 = int((board == 2).sum())
+    moves1 = stones1 + 2 * int(captures[1])
+    moves2 = stones2 + 2 * int(captures[0])
+    return 1 if moves1 == moves2 else 2
+
+
 class AlphaZeroPlayer:
     def __init__(
         self,
@@ -74,23 +92,12 @@ class AlphaZeroPlayer:
              last_opponent_move) -> Optional[Tuple[int, int]]:
         raw = np.asarray(board if isinstance(board, (list, np.ndarray))
                          else board.board, dtype=np.int8)
-        if self.rules == "gomoku":
-            # stone counting is exact for Gomoku (nothing is ever removed)
-            stones1 = int((raw == 1).sum())
-            to_move = 1 if stones1 == int((raw == 2).sum()) else 2
-        else:
-            # Pente captures remove stones, so counting is unreliable; use
-            # turn parity like the reference (players/player.py:68).  The
-            # encoding is perspective-invariant, so a mislabel is harmless.
-            # NOTE: capture counts are not recoverable from a raw board;
-            # they start at 0 here (protocol limitation — the reference's
-            # players reject Pente outright).
-            to_move = 1 if turn_number % 2 == 0 else 2
-        captures = getattr(board, "captures", None)
-        if self.rules == "pente" and isinstance(captures, dict):
-            state = self.env.from_board(
-                raw, to_move, captures=(captures.get(1, 0), captures.get(2, 0))
-            )
+        caps = getattr(board, "captures", None)
+        caps = (caps.get(1, 0), caps.get(2, 0)) if isinstance(caps, dict) \
+            else (0, 0)
+        to_move = infer_to_move(raw, caps)
+        if self.rules == "pente":
+            state = self.env.from_board(raw, to_move, captures=caps)
         else:
             state = self.env.from_board(raw, to_move)
         if bool(state.done):

@@ -23,12 +23,19 @@ class Player:
 
     def play(self, board, turn_number: int,
              last_opponent_move) -> Optional[Tuple[int, int]]:
+        from alphazero_gomoku_tpu.players.alpha_base import infer_to_move
+
         game = make_host_game(self.rules, self.board_size)
         raw = np.asarray(board if isinstance(board, (list, np.ndarray))
                          else board.board, dtype=np.int8)
         game.board = raw.copy()
-        stones1 = int((raw == 1).sum())
-        game.current_player = 1 if stones1 == int((raw == 2).sum()) else 2
+        caps = getattr(board, "captures", None)
+        if self.rules == "pente" and isinstance(caps, dict):
+            game.captures = {1: int(caps.get(1, 0)), 2: int(caps.get(2, 0))}
+        game.current_player = infer_to_move(
+            raw, (game.captures[1], game.captures[2])
+            if hasattr(game, "captures") else (0, 0)
+        )
         game.last_move = (tuple(last_opponent_move)
                           if last_opponent_move is not None else None)
         if game.is_game_over():

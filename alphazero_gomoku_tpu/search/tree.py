@@ -55,7 +55,15 @@ class MCTSConfig:
 
     @property
     def node_capacity(self) -> int:
-        return self.max_nodes or (self.n_simulations + 1)
+        cap = self.max_nodes or (self.n_simulations + 1)
+        if cap < self.n_simulations + 1:
+            # every simulation burns one slot; a smaller capacity would make
+            # slot indices run off the node arrays (silent clamped-scatter
+            # corruption), so reject it outright
+            raise ValueError(
+                f"max_nodes={cap} < n_simulations+1={self.n_simulations + 1}"
+            )
+        return cap
 
     @property
     def depth_limit(self) -> int:

@@ -176,10 +176,19 @@ def train_alphazero(
             fold_bn, make_fused_eval_fn,
         )
         eval_fn = make_fused_eval_fn(model_candidate.cfg)
+        _fold_cache = {}
 
         def search_bundle(model):
-            # fold eval-mode BN into conv weights once per parameter update
-            return fold_bn(model.cfg, model.params, model.batch_stats)
+            # fold eval-mode BN into conv weights once per parameter update;
+            # params pytrees are replaced (never mutated) on update, so
+            # object identity is a valid cache key
+            key = id(model.params)
+            if _fold_cache.get("key_" + str(id(model))) != key:
+                _fold_cache["key_" + str(id(model))] = key
+                _fold_cache["val_" + str(id(model))] = fold_bn(
+                    model.cfg, model.params, model.batch_stats
+                )
+            return _fold_cache["val_" + str(id(model))]
     else:
         eval_fn = make_eval_fn(model_candidate.cfg)
         search_bundle = bundle_of

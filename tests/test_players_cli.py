@@ -133,3 +133,48 @@ def test_alpha_player_gomoku_and_pente(tmp_path):
         g2.do_move((4, k)); g2.do_move((8, k))
     g2.do_move((4, 4))
     assert p.play(g2.clone(), 9, (4, 4)) is None
+
+
+def test_infer_to_move_exact_with_captures():
+    from alphazero_gomoku_tpu.players.alpha_base import infer_to_move
+
+    g = Gomoku(9)
+    assert infer_to_move(g.board) == 1
+    g.do_move((4, 4))
+    assert infer_to_move(g.board) == 2
+
+    # Pente: P2 captures a P1 pair -> stones are 0 vs 2 with P1 to move;
+    # naive counting says P2, the capture-aware formula says P1
+    p = Pente(9)
+    for m in [(4, 5), (4, 4), (4, 6), (4, 7)]:
+        p.do_move(m)  # P2's (4,7) captures (4,5),(4,6)
+    assert p.captures[2] == 1 and p.current_player == 1
+    caps = (p.captures[1], p.captures[2])
+    assert infer_to_move(p.board, caps) == 1
+    assert infer_to_move(p.board, (0, 0)) == 2  # naive is wrong here
+
+    # player_mcts honors capture counts from the passed game object
+    player = load_player("player_mcts", "pente", 9)
+    mv = player.play(p.clone(), 5, p.last_move)
+    assert mv is not None and p.board[mv] == 0
+
+
+def test_mcts_config_validates_capacity():
+    from alphazero_gomoku_tpu.search import MCTSConfig
+    with pytest.raises(ValueError):
+        MCTSConfig(n_simulations=100, max_nodes=50).node_capacity
+
+
+def test_fused_predict_pads_ragged_batches():
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    from alphazero_gomoku_tpu.models.resnet import NetConfig, init_variables
+    from alphazero_gomoku_tpu.ops.fused_net import fold_bn, fused_predict
+
+    cfg = NetConfig(board_size=9, action_size=81, n_res_blocks=1, channels=32)
+    v = init_variables(__import__("jax").random.PRNGKey(0), cfg)
+    folded = fold_bn(cfg, v["params"], v["batch_stats"])
+    obs = jnp.zeros((6, 9, 9, 3), jnp.float32)  # 6 % 8 != 0
+    with pltpu.force_tpu_interpret_mode():
+        logits, value = fused_predict(cfg, folded, 8, obs)
+    assert logits.shape == (6, 81) and value.shape == (6, 1)
