@@ -25,7 +25,21 @@ Behaviour spec matched to the reference:
 
 Unlike the reference's per-cell Python walks + deepcopies, the threat and
 capture heuristics here are whole-board vectorized (shift-and-cumprod run
-lengths), and states are cloned through the cheap host engines.
+lengths), immediate win/block detection is a single board pass
+(:func:`winning_cells`), and states are cloned through the cheap host
+engines.
+
+Deliberate fixes vs the reference (see DECISIONS.md):
+  - terminal nodes are never expanded (the reference expands them and can
+    then search PAST the end of the game, where ``check_winner``'s
+    last-move-local scan no longer sees the win).
+
+Known inherited quirk kept for behavioural parity: the rollout value scale
+([0, 1] with 0.8 for blocks) is backed up with per-hop negation as if it
+were zero-centred, and the depth parity of rollout outcomes is not
+perspective-adjusted (``mcts_pure.py:133-175``) — the baseline's deep value
+signal is noisy in the reference and stays so here; its tactical strength
+comes from the immediate win/block scans.
 """
 
 from __future__ import annotations
@@ -97,7 +111,11 @@ def threat_scores(board: np.ndarray, player: int,
 
 def capture_potential(board: np.ndarray, player: int) -> np.ndarray:
     """Per-cell count of capturable opponent pairs (pattern me-opp-opp-me
-    along the 4 axes, checked in the + direction like the reference)."""
+    along the 4 axes, checked in the + direction like the reference).
+
+    This is the PRIOR heuristic (reference ``mcts_pure.py:277-289`` scans
+    only the positive rays); for true capture counts use
+    :func:`capture_count_all`."""
     opp = 3 - player
     o = (board == opp)
     m = (board == player)
@@ -109,6 +127,44 @@ def capture_potential(board: np.ndarray, player: int) -> np.ndarray:
             & _shift(m, 3 * dr, 3 * dc, False)
         ).astype(np.int32)
     return pot
+
+
+def capture_count_all(board: np.ndarray, player: int) -> np.ndarray:
+    """Per-cell TRUE number of pairs ``player`` would capture (all 8 rays)."""
+    opp = 3 - player
+    o = (board == opp)
+    m = (board == player)
+    pot = np.zeros(board.shape, np.int32)
+    for dr, dc in _DIR_PAIRS:
+        for sr, sc in ((dr, dc), (-dr, -dc)):
+            pot += (
+                _shift(o, sr, sc, False)
+                & _shift(o, 2 * sr, 2 * sc, False)
+                & _shift(m, 3 * sr, 3 * sc, False)
+            ).astype(np.int32)
+    return pot
+
+
+def winning_cells(state, player: int) -> np.ndarray:
+    """Bool board: cells where ``player`` would win by playing there NOW.
+
+    Vectorized equivalent of the reference's clone-every-move immediate-win
+    scan (``mcts_pure.py:141-146``): a placement wins iff it completes a
+    5-in-a-row (captures only remove opponent stones, so the mover's line is
+    unaffected by simultaneous captures), or — Pente — lifts the mover's
+    captured-pair count to the threshold.
+    """
+    board = state.board
+    empty = board == 0
+    win = np.zeros(board.shape, bool)
+    for dr, dc in _DIR_PAIRS:
+        r_p, _ = _runs_and_open(board, player, dr, dc)
+        r_m, _ = _runs_and_open(board, player, -dr, -dc)
+        win |= (1 + r_p.astype(np.int32) + r_m.astype(np.int32)) >= 5
+    if hasattr(state, "captures"):
+        need = 5 - state.captures[player]
+        win |= capture_count_all(board, player) >= max(need, 0)
+    return win & empty
 
 
 def _center_bias(size: int) -> np.ndarray:
@@ -179,14 +235,14 @@ class PureMCTS:
 
     # -- immediate tactics ---------------------------------------------
     def _winning_move(self, state, player) -> Optional[Tuple[int, int]]:
-        """A legal move that makes ``player`` win right now, if any."""
-        for move in state.get_legal_moves():
-            probe = state.clone()
-            probe.current_player = player
-            probe.do_move(move)
-            if probe.check_winner() == player:
-                return move
-        return None
+        """First legal move (row-major, matching ``get_legal_moves`` order)
+        that makes ``player`` win right now — one vectorized board pass
+        instead of the reference's clone-per-candidate scan."""
+        cells = winning_cells(state, player)
+        if not cells.any():
+            return None
+        idx = int(np.flatnonzero(cells)[0])
+        return divmod(idx, state.size)
 
     # -- rollout --------------------------------------------------------
     def _rollout(self, state) -> float:
@@ -217,11 +273,13 @@ class PureMCTS:
         node = root
         while node.children:
             node = node.best_child(self.c_puct)
-        expansion = self._policy(node.state)
-        for move, prob in expansion:
-            nxt = node.state.clone()
-            nxt.do_move(move)
-            node.children[move] = _PureNode(node, float(prob), move, nxt)
+        # never expand past the end of the game (the reference does, which
+        # loses the win signal: check_winner only scans through last_move)
+        if not node.state.is_game_over():
+            for move, prob in self._policy(node.state):
+                nxt = node.state.clone()
+                nxt.do_move(move)
+                node.children[move] = _PureNode(node, float(prob), move, nxt)
         value = self._rollout(node.state.clone())
         node.update_path(-value)
 

@@ -119,12 +119,19 @@ def symmetric_dirichlet(key: jax.Array, alpha: float, shape) -> jax.Array:
 # helpers (single game; callers vmap)
 # ----------------------------------------------------------------------
 def _masked_priors(probs: jax.Array, legal: jax.Array) -> jax.Array:
-    """Mask priors to legal moves; renormalize; uniform-over-legal fallback."""
+    """Mask priors to legal moves; uniform-over-legal fallback when the
+    masked mass vanishes.
+
+    NOTE: like the reference (``new_mcts_alpha.py:163-168``), the masked
+    priors are NOT renormalized — whatever probability the network put on
+    illegal moves is simply dropped, slightly damping the exploration term
+    on nodes where the policy head leaks mass onto occupied squares.
+    """
     p = probs * legal
     total = jnp.sum(p)
     n_legal = jnp.maximum(jnp.sum(legal), 1.0)
     uniform = legal / n_legal
-    return jnp.where(total < 1e-8, uniform, p / jnp.maximum(total, 1e-30))
+    return jnp.where(total < 1e-8, uniform, p)
 
 
 def _puct_scores(tree: Tree, node, cpuct: float) -> jax.Array:

@@ -176,19 +176,18 @@ def train_alphazero(
             fold_bn, make_fused_eval_fn,
         )
         eval_fn = make_fused_eval_fn(model_candidate.cfg)
-        _fold_cache = {}
+        # cache holds a live reference to the keyed params object so the
+        # identity comparison ('is') can never alias a recycled address
+        _fold_cache: dict = {}
 
         def search_bundle(model):
-            # fold eval-mode BN into conv weights once per parameter update;
-            # params pytrees are replaced (never mutated) on update, so
-            # object identity is a valid cache key
-            key = id(model.params)
-            if _fold_cache.get("key_" + str(id(model))) != key:
-                _fold_cache["key_" + str(id(model))] = key
-                _fold_cache["val_" + str(id(model))] = fold_bn(
+            cached = _fold_cache.get(model)
+            if cached is None or cached[0] is not model.params:
+                cached = (model.params, fold_bn(
                     model.cfg, model.params, model.batch_stats
-                )
-            return _fold_cache["val_" + str(id(model))]
+                ))
+                _fold_cache[model] = cached
+            return cached[1]
     else:
         eval_fn = make_eval_fn(model_candidate.cfg)
         search_bundle = bundle_of

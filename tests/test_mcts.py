@@ -56,9 +56,11 @@ class _Node:
         if game.is_game_over():
             self.prior = np.zeros(A, np.float32)
         else:
+            # reference semantics: masked priors are NOT renormalized
             p = fake_probs_np(stones) * self.legal
-            total = p.sum(dtype=np.float32)
-            self.prior = (p / total).astype(np.float32)
+            if p.sum(dtype=np.float32) < 1e-8:
+                p = self.legal / np.float32(self.legal.sum())
+            self.prior = p.astype(np.float32)
         self.visit = np.zeros(A, np.float32)
         self.w = np.zeros(A, np.float32)
         self.children = {}

@@ -178,3 +178,48 @@ def test_fused_predict_pads_ragged_batches():
     with pltpu.force_tpu_interpret_mode():
         logits, value = fused_predict(cfg, folded, 8, obs)
     assert logits.shape == (6, 81) and value.shape == (6, 1)
+
+
+def test_winning_cells_matches_clone_scan():
+    """Vectorized immediate-win detection == the reference's clone scan."""
+    import numpy as np
+    from alphazero_gomoku_tpu.search.pure_mcts import winning_cells
+
+    rng = np.random.default_rng(3)
+    for game_cls in (Gomoku, Pente):
+        for trial in range(6):
+            g = game_cls(9)
+            for _ in range(int(rng.integers(4, 30))):
+                if g.is_game_over():
+                    break
+                legal = np.nonzero(g.get_valid_moves())[0]
+                g.do_move(divmod(int(rng.choice(legal)), 9))
+            if g.is_game_over():
+                continue
+            for player in (1, 2):
+                want = np.zeros((9, 9), bool)
+                for mv in g.get_legal_moves():
+                    probe = g.clone()
+                    probe.current_player = player
+                    probe.do_move(mv)
+                    if probe.check_winner() == player:
+                        want[mv] = True
+                got = winning_cells(g, player)
+                np.testing.assert_array_equal(
+                    got, want,
+                    err_msg=f"{game_cls.__name__} trial {trial} P{player}")
+
+
+def test_pure_mcts_never_plays_past_game_end():
+    """Expansion stops at terminal nodes (fixed vs reference)."""
+    from alphazero_gomoku_tpu.search.pure_mcts import MCTSGomoku, _PureNode
+
+    g = Gomoku(9)
+    for k in range(4):
+        g.do_move((4, k)); g.do_move((8, k if k < 3 else 5))
+    g.do_move((4, 4))  # P1 wins
+    assert g.is_game_over()
+    m = MCTSGomoku(n_playout=5)
+    root = _PureNode(state=g.clone())
+    m._playout(root)
+    assert root.children == {}  # terminal root never expanded
