@@ -121,3 +121,43 @@ def test_capture_frees_squares_for_legality():
     state = play_both(env, state, host, [(4, 7)])
     legal = np.asarray(env.legal_mask(state))
     assert legal[4 * 9 + 5] and legal[4 * 9 + 6]  # captured squares reopened
+
+
+def test_differential_random_games_15x15():
+    """Full-size Pente differential (captures are rarer but longer-range)."""
+    size = 15
+    env = PenteEnv(size)
+    host = Pente(size)
+    state = env.init()
+    step = jax.jit(env.step)
+    rng = np.random.default_rng(99)
+    moves = 0
+    while not host.is_game_over() and moves < 120:
+        legal = np.nonzero(host.get_valid_moves())[0]
+        a = int(rng.choice(legal))
+        host.do_move(divmod(a, size))
+        state = step(state, a)
+        moves += 1
+    sync_check(env, state, host)
+
+
+def test_undo_stress_random_walk():
+    """Random do/undo interleaving leaves the host engine consistent."""
+    rng = np.random.default_rng(5)
+    g = Pente(9)
+    snapshots = [(g.board.copy(), g.current_player, dict(g.captures))]
+    for _ in range(200):
+        if g.move_history and rng.random() < 0.35:
+            g.undo_move()
+            snapshots.pop()
+        elif not g.is_game_over():
+            legal = np.nonzero(g.get_valid_moves())[0]
+            g.do_move(divmod(int(rng.choice(legal)), 9))
+            snapshots.append(
+                (g.board.copy(), g.current_player, dict(g.captures)))
+        else:
+            g.undo_move()
+            snapshots.pop()
+        board, player, caps = snapshots[-1]
+        np.testing.assert_array_equal(g.board, board)
+        assert g.current_player == player and g.captures == caps
