@@ -254,3 +254,25 @@ def test_init_statistics():
     bound = (6.0 / fc.shape[0]) ** 0.5
     assert fc.min() >= -bound and fc.max() <= bound
     assert np.asarray(v["params"]["policy_fc"]["b"]).max() == 0.0
+
+
+def test_predict_batch_and_metadata(tmp_path):
+    from alphazero_gomoku_tpu.models.checkpoint import peek_metadata
+
+    m = AZModel(board_size=BOARD, n_res_blocks=1, channels=8, seed=0)
+    states = [np.zeros((3, BOARD, BOARD), np.float32) for _ in range(3)]
+    probs, vals = m.predict_batch(states)
+    assert probs.shape == (3, A) and vals.shape == (3, 1)
+    batch = m.make_batch_from_states(states)
+    assert batch.shape == (3, 3, BOARD, BOARD) and batch.dtype == np.float32
+
+    path = str(tmp_path / "m.ckpt")
+    m.save(path)
+    meta = peek_metadata(path)
+    assert meta["board_size"] == BOARD and meta["channels"] == 8
+
+    # corrupt magic is rejected
+    bad = tmp_path / "bad.ckpt"
+    bad.write_bytes(b"NOTACKPT" + b"\x00" * 32)
+    with pytest.raises(ValueError):
+        peek_metadata(str(bad))
