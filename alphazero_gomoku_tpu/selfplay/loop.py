@@ -256,6 +256,7 @@ def train_alphazero(
             f"buffer={len(buffer)}")
 
         # ---- phase 2: train ------------------------------------------
+        t_train = time.time()
         loss_info = None
         if len(buffer) >= batch_size:
             n_batches = max(1, len(buffer) // batch_size)
@@ -289,7 +290,8 @@ def train_alphazero(
         except Exception as e:  # keep training alive (reference behaviour)
             log(f"evaluation failed: {e}")
             new_wins, win_rate, draws = 0, 0.0, 0
-        log(f"eval done: {(time.time() - t2):.1f}s, win_rate={win_rate:.3f} "
+        eval_dt = time.time() - t2
+        log(f"eval done: {eval_dt:.1f}s, win_rate={win_rate:.3f} "
             f"({new_wins}/{eval_games}), draws={draws}")
 
         # ---- phase 4: gate -------------------------------------------
@@ -321,6 +323,8 @@ def train_alphazero(
             "winners": winners,
             "moves": n_moves,
             "selfplay_seconds": sp_dt,
+            "train_seconds": round(t2 - t_train, 3),
+            "eval_seconds": round(eval_dt, 3),
             "loss": loss_info,
             "win_rate": win_rate,
             "draws": draws,
