@@ -9,10 +9,9 @@ from __future__ import annotations
 
 import argparse
 import sys
-import time
 
 from alphazero_gomoku_tpu.games import make_host_game
-from alphazero_gomoku_tpu.players import load_player
+from alphazero_gomoku_tpu.players import load_player, request_move
 
 RED, BLUE, RESET = "\033[31m", "\033[34m", "\033[0m"
 
@@ -33,25 +32,11 @@ def run_match(player1_name: str, player2_name: str, game_name: str = "gomoku",
     turn_number = 0
     while not game.is_game_over():
         turn_number += 1
-        player = players[game.current_player]
-        for _ in range(max_retries_per_turn):
-            t0 = time.time()
-            try:
-                move = player.play(game.clone(), turn_number, game.last_move)
-            except Exception as e:
-                print(f"player {game.current_player} raised: {e}")
-                continue
-            print(f"  think time: {time.time() - t0:.2f}s")
-            if move is None:
-                print("player resigned / gave no move")
-                return 3 - game.current_player
-            if game.do_move(move):
-                break
-            print(f"illegal move {move}; retrying")
-        else:
-            print(f"player {game.current_player} failed to produce a legal "
-                  "move; forfeits")
-            return 3 - game.current_player
+        seat = game.current_player
+        move = request_move(players[seat], game, turn_number,
+                            max_retries_per_turn)
+        if move is None:
+            return 3 - seat  # forfeit
         game.display()
 
     print("\nfinal position:")

@@ -20,7 +20,7 @@ from pathlib import Path
 import numpy as np
 
 from alphazero_gomoku_tpu.games import make_host_game
-from alphazero_gomoku_tpu.players import load_player
+from alphazero_gomoku_tpu.players import load_player, request_move
 
 METRICS_DIR = Path("metrics")
 RED, BLUE, RESET = "\033[31m", "\033[34m", "\033[0m"
@@ -92,26 +92,14 @@ def play_one_game(first_name, second_name, game, game_name, size, metrics,
     turn_number = 0
     while not game.is_game_over():
         mover_name = first_name if game.current_player == 1 else second_name
-        player = seats[game.current_player]
-        for _ in range(20):
-            t0 = time.time()
-            try:
-                move = player.play(game.clone(), turn_number, game.last_move)
-            except Exception as e:
-                print(f"player {game.current_player} raised: {e}")
-                continue
-            think = time.time() - t0
-            if move is None:
-                print("no move returned; retrying")
-                continue
-            if game.do_move(move):
-                metrics["move_made"][mover_name][key].append(tuple(move))
-                metrics["time_for_each_move"][mover_name][key].append(think)
-                turn_number += 1
-                break
-            print(f"invalid move {move}; retrying")
-        else:
-            break
+        t0 = time.time()
+        move = request_move(seats[game.current_player], game, turn_number)
+        if move is None:
+            break  # forfeit; wins tally below uses the final board state
+        metrics["move_made"][mover_name][key].append(move)
+        metrics["time_for_each_move"][mover_name][key].append(
+            time.time() - t0)
+        turn_number += 1
         game.display()
 
     winner = game.get_winner()
@@ -147,6 +135,7 @@ def loop_for_n_games(p1_name, p2_name, n_games, game_name="gomoku", size=15,
         if pause_seconds:
             time.sleep(pause_seconds)
 
+    metrics["total_duration"] = round(time.time() - t_start, 3)
     metrics["total_duration_minutes"] = (time.time() - t_start) // 60
     metrics["wins"] = wins
     metrics["draws"] = n_games - sum(wins.values())

@@ -21,7 +21,7 @@ from alphazero_gomoku_tpu.gui.mirror_ipc import (
     MoveLogTailer,
     MoveLogWriter,
 )
-from alphazero_gomoku_tpu.players import load_player
+from alphazero_gomoku_tpu.players import load_player, request_move
 
 POLL_SECONDS = 0.05  # reference gui.py polls at 50 ms
 
@@ -48,7 +48,7 @@ def run_engine(game_name: str = "gomoku", size: int = 15,
                         for s in (1, 2)]
         proc = subprocess.Popen(
             [sys.executable, "-m", "alphazero_gomoku_tpu.gui.interface",
-             "mirror", game_name, *mirror_kinds]
+             "mirror", game_name, *mirror_kinds, str(size)]
         )
 
     turn_number = 0
@@ -62,28 +62,25 @@ def run_engine(game_name: str = "gomoku", size: int = 15,
                 move = None
                 while move is None:
                     for clicked in human_in.poll():
-                        if game.board[clicked] == 0:
+                        if (0 <= clicked[0] < size and 0 <= clicked[1] < size
+                                and game.board[clicked] == 0):
                             move = clicked
                             break
                     if move is None:
                         time.sleep(POLL_SECONDS)
+                if not game.do_move(move):
+                    print(f"rejected illegal move {move}")
+                    continue
             else:
-                move = None
-                for _ in range(20):  # forfeit misbehaving bots (cf. cli/play)
-                    move = bot.play(game.clone(), turn_number, game.last_move)
-                    if move is not None and game.board[tuple(move)] == 0:
-                        break
-                    print(f"bot (seat {seat}) gave invalid move {move}")
-                else:
-                    # 20 invalid/None moves in a row: resign/forfeit
+                move = request_move(bot, game, turn_number)
+                if move is None:  # bot forfeits -> opponent wins
                     print(f"bot (seat {seat}) forfeits")
-                    break
-            if game.do_move(move):
-                turn_number += 1
-                mirror_out.append(move)
-                game.display()
-            else:
-                print(f"rejected illegal move {move}")
+                    winner = 3 - seat
+                    print(f"player {winner} wins")
+                    return winner
+            turn_number += 1
+            mirror_out.append(move)
+            game.display()
         winner = game.get_winner()
         print("draw" if winner == 0 else f"player {winner} wins")
         return winner

@@ -132,7 +132,7 @@ def draw_board(surf, game, font, ghost: Optional[Tuple[int, int]] = None,
     if ghost is not None:
         center = (MARGIN + ghost[1] * CELL, MARGIN + ghost[0] * CELL)
         color = P1_COLOR if game.current_player == 1 else P2_COLOR
-        pygame.draw.circle(surf, color + (0,)[:0], center, CELL // 2 - 4, 2)
+        pygame.draw.circle(surf, color, center, CELL // 2 - 4, 2)
 
     if hasattr(game, "captures"):
         cap = font.render(
@@ -356,7 +356,8 @@ def main(argv=None):
         game_name = argv[1] if len(argv) > 1 else "gomoku"
         p1 = argv[2] if len(argv) > 2 else "human"
         p2 = argv[3] if len(argv) > 3 else "bot"
-        run_mirror(game_name, 15, p1, p2)
+        size = int(argv[4]) if len(argv) > 4 else 15
+        run_mirror(game_name, size, p1, p2)
     else:
         App().run()
 

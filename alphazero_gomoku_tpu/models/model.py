@@ -146,17 +146,37 @@ class AZModel:
             "batch_stats": self.batch_stats,
             "opt_state": self.opt_state,
         }
+        meta_only = ckpt.peek_metadata(path)
+        for field, mine in (("board_size", self.board_size),
+                            ("n_res_blocks", self.cfg.n_res_blocks),
+                            ("channels", self.cfg.channels)):
+            theirs = meta_only.get(field)
+            if theirs is not None and theirs != mine:
+                raise ValueError(
+                    f"checkpoint {field}={theirs} != model {field}={mine} "
+                    f"(construct AZModel with the checkpoint's architecture, "
+                    f"or use AZModel.from_checkpoint)"
+                )
         tree, meta = ckpt.load_checkpoint(path, template)
-        if meta.get("board_size") not in (None, self.board_size):
-            raise ValueError(
-                f"checkpoint board_size {meta['board_size']} != model "
-                f"{self.board_size}"
-            )
         self.params = tree["params"]
         self.batch_stats = tree["batch_stats"]
         self.opt_state = tree["opt_state"]
 
     # -- helpers ---------------------------------------------------------
+    @classmethod
+    def from_checkpoint(cls, path: str, **overrides) -> "AZModel":
+        """Construct a model sized from the checkpoint's own metadata."""
+        meta = ckpt.peek_metadata(path)
+        kwargs = dict(
+            board_size=meta.get("board_size", 15),
+            n_res_blocks=meta.get("n_res_blocks", 3),
+            channels=meta.get("channels", 64),
+        )
+        kwargs.update(overrides)
+        model = cls(**kwargs)
+        model.load(path)
+        return model
+
     def copy_weights_from(self, other: "AZModel",
                           include_optimizer: bool = True) -> None:
         self.params = jax.tree_util.tree_map(lambda x: x, other.params)

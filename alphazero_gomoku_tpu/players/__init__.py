@@ -9,6 +9,37 @@ Each module exposes a class named ``Player`` constructed as
 """
 
 import importlib
+import time
+from typing import Optional, Tuple
+
+
+def request_move(player, game, turn_number: int, max_retries: int = 20,
+                 log=print) -> Optional[Tuple[int, int]]:
+    """Ask a player for one legal move and APPLY it; None means forfeit.
+
+    Shared by the match CLI, tournament runner and GUI engine so that
+    None/illegal-move handling is identical everywhere: each bad attempt
+    (exception, None, out-of-bounds, occupied) counts toward
+    ``max_retries``; exhausting them forfeits. Returns the applied move and
+    prints per-move think time like the reference runners.
+    """
+    for _ in range(max_retries):
+        t0 = time.time()
+        try:
+            move = player.play(game.clone(), turn_number, game.last_move)
+        except Exception as e:  # noqa: BLE001 — plugin code is untrusted
+            log(f"player {game.current_player} raised: {e}")
+            continue
+        log(f"  think time: {time.time() - t0:.2f}s")
+        if move is None:
+            log("player returned no move; retrying")
+            continue
+        if game.do_move(move):  # validates bounds + occupancy
+            return tuple(move)
+        log(f"illegal move {move}; retrying")
+    log(f"player {game.current_player} failed to produce a legal move; "
+        "forfeits")
+    return None
 
 
 def load_player(module_name: str, rules: str, size: int):

@@ -66,14 +66,17 @@ class AlphaZeroPlayer:
         self.model_path = model_path
 
         self.env = make_env(self.rules, board_size)
-        self.net = AZModel(board_size=board_size,
-                           n_res_blocks=n_res_blocks, channels=channels)
         if model_path and os.path.exists(model_path):
             print(f"[AlphaZeroPlayer] loading model: {model_path}")
-            self.net.load(model_path)
+            # size the net from the checkpoint's own metadata so plugins
+            # load 6x128 (or any) snapshots without architecture flags
+            self.net = AZModel.from_checkpoint(model_path,
+                                               board_size=board_size)
         else:
             print(f"[AlphaZeroPlayer] WARNING: no model at {model_path!r}; "
                   "playing with random weights")
+            self.net = AZModel(board_size=board_size,
+                               n_res_blocks=n_res_blocks, channels=channels)
 
         cfg = MCTSConfig(n_simulations=n_simulations, cpuct=c_puct,
                          add_noise=False)
