@@ -13,8 +13,10 @@ policy/value ResNet is fused into ONE Pallas kernel:
     MXU (M = G*H*W rows), accumulating in float32 with bfloat16 inputs.
   - Residual blocks ping-pong between two scratch buffers whose borders
     stay zero, so spatial padding costs nothing after the initial memset.
-  - Policy and value heads (1x1 convs + FCs + tanh) run in the same kernel;
-    only logits [G, A] and values [G, 1] ever leave VMEM.
+  - The policy/value heads (1x1 convs + FCs + tanh, <1% of FLOPs) run as
+    plain XLA ops on the kernel's tower output: their 2-/1-channel tensors
+    need tiny-lane reshapes (e.g. [G*225, 2] -> [G, 450]) that reproducibly
+    crash the Mosaic compiler.
 
 Weights for the full 6x128 net are ~3.6 MB in bf16 and live in VMEM for the
 whole kernel, giving zero HBM traffic between layers (the XLA path writes
@@ -78,9 +80,17 @@ def fold_bn(cfg: NetConfig, params, batch_stats,
     val_w, val_b = _fold(params["value_conv"]["w"], params["value_bn"],
                          batch_stats["value_bn"])
 
+    # Pad the stem's K-dim (in-channels) to the tower width: the kernel
+    # stages observations into the first cin lanes of a C-lane buffer and
+    # matmuls the FULL lane width (tiny-lane reshapes crash Mosaic); the
+    # extra K rows are zero so the result is exact.
+    stem_mats = conv_to_mats(stem_w)
+    pad_k = cfg.channels - stem_mats.shape[1]
+    stem_mats = jnp.pad(stem_mats, ((0, 0), (0, pad_k), (0, 0)))
+
     f32 = jnp.float32
     return {
-        "stem_w": conv_to_mats(stem_w).astype(dtype),
+        "stem_w": stem_mats.astype(dtype),
         "stem_b": stem_b.astype(f32),
         "block_w": jnp.stack(bw).astype(dtype),
         "block_b": jnp.stack(bb).astype(f32),
@@ -118,8 +128,13 @@ def folded_apply_reference(cfg: NetConfig, folded, obs) -> Tuple[jax.Array, jax.
             out = term if out is None else out + term
         return (out + bias).reshape(b, h, w, -1)
 
-    x = conv3(obs.astype(jnp.float32), folded["stem_w"], folded["stem_b"])
-    x = jax.nn.relu(x)
+    # stem weights are K-padded to the tower width (see fold_bn); widen the
+    # observation with zero channels to match
+    obs_wide = jnp.pad(
+        obs.astype(jnp.float32),
+        ((0, 0), (0, 0), (0, 0), (0, cfg.channels - obs.shape[-1])),
+    )
+    x = jax.nn.relu(conv3(obs_wide, folded["stem_w"], folded["stem_b"]))
     for i in range(cfg.n_res_blocks):
         r = x
         x = jax.nn.relu(conv3(x, folded["block_w"][i, 0],
@@ -147,9 +162,7 @@ def folded_apply_reference(cfg: NetConfig, folded, obs) -> Tuple[jax.Array, jax.
 # ----------------------------------------------------------------------
 def _fused_kernel(cfg: NetConfig, tile: int,
                   obs_ref, stem_w, stem_b, block_w, block_b,
-                  pol_w, pol_b, pol_fc_w, pol_fc_b,
-                  val_w, val_b, val_fc1_w, val_fc1_b, val_fc2_w, val_fc2_b,
-                  logits_ref, value_ref, act_a, act_b):
+                  tower_ref, act_a, act_b):
     h = w = cfg.board_size
     g = tile
     rows = g * h * w
@@ -173,17 +186,12 @@ def _fused_kernel(cfg: NetConfig, tile: int,
     act_b[:] = jnp.zeros_like(act_b)
 
     # stem: obs -> C channels. The observation is staged into the first
-    # ``cin`` channel lanes of the padded buffer via a direct ref write
-    # (value-level ``.at[].set`` would lower to an unsupported scatter).
+    # ``cin`` channel lanes of the C-lane padded buffer (direct ref write);
+    # the conv then matmuls the FULL lane width against K-padded stem
+    # weights — channel sub-slices / tiny-lane reshapes crash Mosaic.
     cin = obs_ref.shape[-1]
     act_a[:, 1:h + 1, 1:w + 1, 0:cin] = obs_ref[:].astype(f32)
-    acc = jnp.zeros((rows, stem_w.shape[-1]), f32)
-    for k in range(9):
-        dr, dc = divmod(k, 3)
-        piece = act_a[:, dr:dr + h, dc:dc + w, 0:cin].astype(bf16)
-        acc = acc + jnp.dot(piece.reshape(rows, cin), stem_w[k],
-                            preferred_element_type=f32)
-    x = jax.nn.relu(acc + stem_b[:])
+    x = jax.nn.relu(conv3_from(act_a, lambda k: stem_w[k], stem_b[:]))
     act_a[:, 1:h + 1, 1:w + 1, :] = x.reshape(g, h, w, -1)
 
     # residual tower (python-unrolled; L is small and static)
@@ -196,27 +204,11 @@ def _fused_kernel(cfg: NetConfig, tile: int,
         x = jax.nn.relu(z + res)
         act_a[:, 1:h + 1, 1:w + 1, :] = x.reshape(g, h, w, -1)
 
-    flat = act_a[:, 1:h + 1, 1:w + 1, :].reshape(rows, -1).astype(bf16)
-
-    # policy head: 1x1 conv to 2ch + relu -> FC to A logits
-    p = jax.nn.relu(
-        jnp.dot(flat, pol_w[:], preferred_element_type=f32) + pol_b[:]
-    )
-    p = p.reshape(g, h * w * 2).astype(bf16)
-    logits_ref[:] = (
-        jnp.dot(p, pol_fc_w[:], preferred_element_type=f32) + pol_fc_b[:]
-    )
-
-    # value head: 1x1 conv to 1ch + relu -> FC 64 -> FC 1 -> tanh
-    v = jax.nn.relu(
-        jnp.dot(flat, val_w[:], preferred_element_type=f32) + val_b[:]
-    )
-    v = v.reshape(g, h * w).astype(bf16)
-    v = jax.nn.relu(
-        jnp.dot(v, val_fc1_w[:], preferred_element_type=f32) + val_fc1_b[:]
-    ).astype(bf16)
-    v = jnp.dot(v, val_fc2_w[:], preferred_element_type=f32) + val_fc2_b[:]
-    value_ref[:] = jnp.tanh(v)
+    # NOTE: the policy/value heads run OUTSIDE the kernel (plain XLA): they
+    # are <1% of the FLOPs, and their 2-/1-channel tensors need tiny-lane
+    # reshapes that crash the Mosaic compiler (reshape [G*225, 2] ->
+    # [G, 450] reproducibly 500s; see ROADMAP.md).
+    tower_ref[:] = act_a[:, 1:h + 1, 1:w + 1, :]
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
@@ -240,11 +232,7 @@ def fused_predict(cfg: NetConfig, folded, tile: int, obs):
     def full(ix=None):
         return pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    weight_names = [
-        "stem_w", "stem_b", "block_w", "block_b",
-        "pol_w", "pol_b", "pol_fc_w", "pol_fc_b",
-        "val_w", "val_b", "val_fc1_w", "val_fc1_b", "val_fc2_w", "val_fc2_b",
-    ]
+    weight_names = ["stem_w", "stem_b", "block_w", "block_b"]
     n_dims = {k: folded[k].ndim for k in weight_names}
     weight_specs = [
         pl.BlockSpec(folded[k].shape, (lambda nd: lambda i: (0,) * nd)(n_dims[k]),
@@ -253,7 +241,7 @@ def fused_predict(cfg: NetConfig, folded, tile: int, obs):
     ]
 
     kernel = functools.partial(_fused_kernel, cfg, tile)
-    logits, value = pl.pallas_call(
+    tower = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -261,21 +249,26 @@ def fused_predict(cfg: NetConfig, folded, tile: int, obs):
                          memory_space=pltpu.VMEM),
             *weight_specs,
         ],
-        out_specs=[
-            pl.BlockSpec((tile, cfg.action_size), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, cfg.action_size), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((tile, h, w, c), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((tile, h + 2, w + 2, c), jnp.float32),
             pltpu.VMEM((tile, h + 2, w + 2, c), jnp.float32),
         ],
     )(obs.astype(jnp.float32), *[folded[k] for k in weight_names])
+
+    # heads in XLA (tiny)
+    rows = tower.reshape(b * h * w, c)
+    f32 = jnp.float32
+    pq = jax.nn.relu(jnp.dot(rows, folded["pol_w"].astype(f32)) + folded["pol_b"])
+    logits = (jnp.dot(pq.reshape(b, h * w * 2), folded["pol_fc_w"].astype(f32))
+              + folded["pol_fc_b"])
+    vq = jax.nn.relu(jnp.dot(rows, folded["val_w"].astype(f32)) + folded["val_b"])
+    v = jax.nn.relu(jnp.dot(vq.reshape(b, h * w), folded["val_fc1_w"].astype(f32))
+                    + folded["val_fc1_b"])
+    v = jnp.dot(v, folded["val_fc2_w"].astype(f32)) + folded["val_fc2_b"]
+    value = jnp.tanh(v)
     return logits[:orig_b], value[:orig_b]
 
 
