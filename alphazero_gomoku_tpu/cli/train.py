@@ -43,6 +43,17 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--pretrained-model-path", default=None)
     ap.add_argument("--next-iteration-continuation", type=int, default=1)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--value-loss-weight", type=float, default=1.0,
+                    help="scale on the value MSE loss term")
+    ap.add_argument("--value-target-mix", type=float, default=0.0,
+                    help="soften z toward the root search value: "
+                         "target = (1-mix)*z + mix*root_q")
+    ap.add_argument("--opening-random-moves", type=int, default=0,
+                    help="random centre plies before search play "
+                         "(diversity; not recorded as samples)")
+    ap.add_argument("--use-fused-inference", action="store_true",
+                    help="use the fused Pallas inference kernel for "
+                         "self-play/arena leaf evaluation")
     ap.add_argument("--no-symmetries", action="store_true")
     ap.add_argument("--selfplay-mode", default="lockstep",
                     choices=["lockstep", "continuous"])
@@ -80,6 +91,10 @@ def main(argv=None):
         lr=args.lr,
         weight_decay=args.weight_decay,
         seed=args.seed,
+        value_loss_weight=args.value_loss_weight,
+        value_target_mix=args.value_target_mix,
+        opening_random_moves=args.opening_random_moves,
+        use_fused_inference=args.use_fused_inference,
         use_symmetries=not args.no_symmetries,
         selfplay_mode=args.selfplay_mode,
         selfplay_steps=args.selfplay_steps,

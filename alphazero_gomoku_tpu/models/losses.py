@@ -28,7 +28,12 @@ def value_mse(value: jnp.ndarray, target_z: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean((value - target_z) ** 2)
 
 
-def alphazero_loss(logits, value, target_pi, target_z):
+def alphazero_loss(logits, value, target_pi, target_z,
+                   value_loss_weight: float = 1.0):
+    """Reference total is ``policy + value`` (weight 1.0,
+    ``network.py:220-224``); ``value_loss_weight`` scales the MSE term as a
+    collapse-mitigation knob (weight < 1 slows value-head saturation)."""
     pl = policy_kl(logits, target_pi)
     vl = value_mse(value, target_z)
-    return pl + vl, {"policy_loss": pl, "value_loss": vl, "total_loss": pl + vl}
+    total = pl + value_loss_weight * vl
+    return total, {"policy_loss": pl, "value_loss": vl, "total_loss": total}

@@ -51,15 +51,17 @@ def predict_fn(cfg: NetConfig, params, batch_stats, x_nhwc):
     return jax.nn.softmax(logits, axis=-1), value
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
+@functools.partial(jax.jit, static_argnums=(0, 1, 8))
 def train_step_fn(cfg: NetConfig, tx, params, batch_stats, opt_state,
-                  x_nhwc, target_pi, target_z):
+                  x_nhwc, target_pi, target_z,
+                  value_loss_weight: float = 1.0):
     """One optimizer step on one batch. Returns new state + loss metrics."""
 
     def loss_fn(p):
         (logits, value), new_stats = apply(cfg, p, batch_stats, x_nhwc,
                                            train=True)
-        loss, metrics = alphazero_loss(logits, value, target_pi, target_z)
+        loss, metrics = alphazero_loss(logits, value, target_pi, target_z,
+                                       value_loss_weight)
         return loss, (new_stats, metrics)
 
     grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(params)

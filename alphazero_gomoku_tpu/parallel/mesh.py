@@ -73,6 +73,7 @@ def make_sharded_selfplay(env, cfg: SelfPlayConfig, eval_fn, mesh: Mesh,
         boards=P(None, axis),        # [T, B, H, W]
         players=P(None, axis),
         pis=P(None, axis),
+        root_qs=P(None, axis),
         active=P(None, axis),
         winners=P(axis),             # [B]
         moves_played=P(axis),

@@ -314,6 +314,27 @@ def run_mcts(
 
     All of this compiles to a single XLA program; no host round-trips.
     """
+    pi, _ = run_mcts_with_q(env, cfg, eval_fn, net_params, root_states,
+                            move_numbers, rng)
+    return pi
+
+
+def run_mcts_with_q(
+    env,
+    cfg: MCTSConfig,
+    eval_fn: EvalFn,
+    net_params,
+    root_states,
+    move_numbers,
+    rng: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Like :func:`run_mcts` but also returns the root value estimate.
+
+    ``root_q [B]`` is the mean backed-up value over all root edge visits
+    (``sum W / sum N`` at the root), from the perspective of the player to
+    move — the same convention as the self-play outcome ``z``, making it
+    usable as a soft value target (``value_target_mix`` in the trainer).
+    """
     batch = root_states.done.shape[0]
     a = env.num_actions
 
@@ -364,4 +385,6 @@ def run_mcts(
     uniform = legal01 / jnp.maximum(
         jnp.sum(legal01, axis=-1, keepdims=True), 1.0)
     pi = jnp.where(totals > 0, counts / jnp.maximum(totals, 1e-30), uniform)
-    return pi
+    root_w = jnp.sum(trees.nw[:, 0, a:], axis=-1)
+    root_q = root_w / jnp.maximum(totals[:, 0], 1.0)
+    return pi, root_q

@@ -66,15 +66,16 @@ def bundle_of(model: AZModel):
     return {"params": model.params, "batch_stats": model.batch_stats}
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def train_epoch_fn(net_cfg, tx, params, batch_stats, opt_state, xs, pis, zs):
+@functools.partial(jax.jit, static_argnums=(0, 1, 8))
+def train_epoch_fn(net_cfg, tx, params, batch_stats, opt_state, xs, pis, zs,
+                   value_loss_weight: float = 1.0):
     """Scan optimizer steps over pre-sampled batches ([n_batches, b, ...])."""
 
     def step(carry, batch):
         params, stats, opt = carry
         x, pi, z = batch
         params, stats, opt, metrics = train_step_fn(
-            net_cfg, tx, params, stats, opt, x, pi, z
+            net_cfg, tx, params, stats, opt, x, pi, z, value_loss_weight
         )
         return (params, stats, opt), metrics
 
@@ -126,6 +127,10 @@ def train_alphazero(
     eval_games_per_task: int = 1,
     eval_base_seed: int = 54321,
     eval_torch_threads: int = 1,
+    # --- value-collapse mitigation (round-1 post-mortem, DECISIONS.md) ---
+    value_loss_weight: float = 1.0,    # scales the MSE term in the loss
+    value_target_mix: float = 0.0,     # z <- (1-mix)*z + mix*root_search_q
+    opening_random_moves: int = 0,     # random centre plies (not recorded)
     # --- extras ---
     use_symmetries: bool = True,
     verbose: bool = True,
@@ -195,6 +200,7 @@ def train_alphazero(
         batch_games=games_per_iteration,
         temp_threshold=temp_threshold,
         use_symmetries=use_symmetries,
+        opening_random_moves=opening_random_moves,
         mcts=MCTSConfig(
             n_simulations=n_simulations,
             cpuct=cpuct,
@@ -239,7 +245,8 @@ def train_alphazero(
         traj = selfplay_jit(search_bundle(model_candidate),
                             jax.random.PRNGKey(seed * 100003 + it))
         states, pis, zs, winners = collect(
-            traj, use_symmetries=use_symmetries
+            traj, use_symmetries=use_symmetries,
+            value_target_mix=value_target_mix,
         )
         buffer.add(states, pis, zs)
         if selfplay_mode == "continuous":
@@ -271,7 +278,8 @@ def train_alphazero(
                     model_candidate.cfg, model_candidate.tx,
                     model_candidate.params, model_candidate.batch_stats,
                     model_candidate.opt_state,
-                    jnp.asarray(xs), jnp.asarray(ps), jnp.asarray(zb))
+                    jnp.asarray(xs), jnp.asarray(ps), jnp.asarray(zb),
+                    value_loss_weight)
                 loss_info = {k: float(v) for k, v in metrics.items()}
                 log(f"  epoch {epoch + 1}/{epochs_per_iter}: "
                     f"{time.time() - t1:.1f}s, last_loss={loss_info}")

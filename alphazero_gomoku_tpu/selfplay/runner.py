@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from alphazero_gomoku_tpu.ops.symmetry import expand_symmetries_batch_np
-from alphazero_gomoku_tpu.search.tree import EvalFn, MCTSConfig, run_mcts
+from alphazero_gomoku_tpu.search.tree import EvalFn, MCTSConfig, run_mcts_with_q
 
 
 @dataclasses.dataclass(frozen=True)
@@ -42,9 +42,38 @@ class SelfPlayConfig:
     temp_threshold: int = 10
     max_moves: int = 0  # 0 => board_size ** 2
     use_symmetries: bool = True
+    # Plies played uniformly at random in the board centre (and NOT recorded
+    # as training samples) before search-driven play begins.  Opening
+    # diversity lever against the blitz/value-collapse failure mode
+    # (DECISIONS.md round-1 training notes); the reference randomizes the
+    # opening this way in its arena (``train.py:191-198``) but not in
+    # self-play — this generalizes that mechanism as an opt-in.
+    opening_random_moves: int = 0
 
     def resolved_max_moves(self, env) -> int:
         return self.max_moves or env.num_actions
+
+
+def center_mask(env) -> jnp.ndarray:
+    """f32 [A] mask of the centre 9x9 (whole board if smaller), matching the
+    reference's random-opening region (``train.py:191-198``)."""
+    size = env.size
+    span = min(9, size)
+    r0 = (size - span) // 2
+    rows = (jnp.arange(size) >= r0) & (jnp.arange(size) < r0 + span)
+    grid = rows[:, None] & rows[None, :]
+    return grid.reshape(-1).astype(jnp.float32)
+
+
+def random_center_actions(rng: jax.Array, legal: jax.Array,
+                          center: jax.Array) -> jax.Array:
+    """Uniform random legal action in the centre region ([B] batched);
+    falls back to uniform-over-legal if the centre is full."""
+    in_center = legal * center
+    pool = jnp.where(jnp.sum(in_center, axis=-1, keepdims=True) > 0,
+                     in_center, legal)
+    logits = jnp.where(pool > 0, 0.0, -1e30)
+    return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
 
 
 class Trajectories(NamedTuple):
@@ -53,6 +82,7 @@ class Trajectories(NamedTuple):
     boards: jax.Array    # int8 [T, B, H, W] board BEFORE the move
     players: jax.Array   # int32 [T, B] player to move
     pis: jax.Array       # f32 [T, B, A] MCTS policy
+    root_qs: jax.Array   # f32 [T, B] root value estimate (side-to-move view)
     active: jax.Array    # bool [T, B] record valid (game not yet finished)
     winners: jax.Array   # int32 [B]
     moves_played: jax.Array  # int32 [B] number of moves each game lasted
@@ -94,11 +124,13 @@ def play_games(
     max_moves = cfg.resolved_max_moves(env)
     states0 = env.init_batch(batch)
     size = env.size
+    center = center_mask(env)
 
     buffers0 = (
         jnp.zeros((max_moves, batch, size, size), jnp.int8),      # boards
         jnp.zeros((max_moves, batch), jnp.int32),                 # players
         jnp.zeros((max_moves, batch, env.num_actions), jnp.float32),  # pis
+        jnp.zeros((max_moves, batch), jnp.float32),               # root_qs
         jnp.zeros((max_moves, batch), jnp.bool_),                 # active
     )
 
@@ -108,10 +140,10 @@ def play_games(
 
     def body(carry):
         states, rng, t, bufs = carry
-        rng, k_search, k_sample = jax.random.split(rng, 3)
+        rng, k_search, k_sample, k_open = jax.random.split(rng, 4)
         active = ~states.done
 
-        pi = run_mcts(
+        pi, root_q = run_mcts_with_q(
             env, cfg.mcts, eval_fn, net_params, states,
             jnp.full((batch,), t, jnp.int32), k_search,
         )
@@ -123,26 +155,36 @@ def play_games(
         safe_pi = jnp.where(active[:, None], pi, 1.0)
         actions = sample_actions(safe_pi, temp, legal | ~active[:, None],
                                  k_sample)
-        boards_b, players_b, pis_b, active_b = bufs
+        is_open = t < cfg.opening_random_moves
+        if cfg.opening_random_moves:
+            rand_actions = random_center_actions(
+                k_open, legal.astype(jnp.float32), center)
+            actions = jnp.where(is_open, rand_actions, actions)
+        boards_b, players_b, pis_b, rootq_b, active_b = bufs
         bufs = (
             boards_b.at[t].set(states.board),
             players_b.at[t].set(states.to_move),
             pis_b.at[t].set(pi),
-            active_b.at[t].set(active),
+            rootq_b.at[t].set(root_q),
+            # random-opening plies are diversity, not policy samples: the
+            # search pi there would pair with a move the policy did not
+            # choose, so the record is masked out
+            active_b.at[t].set(active & ~is_open),
         )
         states = jax.vmap(env.step_safe)(states, actions)
         return (states, rng, t + 1, bufs)
 
-    final_states, _, _, (boards, players, pis, active) = jax.lax.while_loop(
-        cond, body, (states0, rng, jnp.int32(0), buffers0)
+    final_states, _, _, (boards, players, pis, root_qs, active) = (
+        jax.lax.while_loop(cond, body, (states0, rng, jnp.int32(0), buffers0))
     )
     return Trajectories(
         boards=boards,
         players=players,
         pis=pis,
+        root_qs=root_qs,
         active=active,
         winners=final_states.winner,
-        moves_played=jnp.sum(active.astype(jnp.int32), axis=0),
+        moves_played=final_states.move_count,
     )
 
 
@@ -156,9 +198,16 @@ def encode_board_np(boards: np.ndarray, players: np.ndarray) -> np.ndarray:
 
 
 def collect_examples(
-    traj: Trajectories, use_symmetries: bool = True
+    traj: Trajectories, use_symmetries: bool = True,
+    value_target_mix: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, dict]:
     """Flatten trajectories into training samples (host side).
+
+    ``value_target_mix`` softens the value target toward the search's own
+    root estimate: ``target = (1-mix) * z + mix * root_q`` (both in the
+    side-to-move perspective).  mix=0 is the reference's pure game outcome
+    (``train.py:399-403``); mix>0 counters the round-1 value-head collapse
+    (saturated +-1 targets from blitz self-play; DECISIONS.md).
 
     Returns (states [N, H, W, 3], pis [N, A], zs [N], winner_stats).
     """
@@ -174,6 +223,9 @@ def collect_examples(
         win_per_record == 0, 0.0,
         np.where(win_per_record == players, 1.0, -1.0),
     ).astype(np.float32)
+    if value_target_mix > 0.0:
+        root_qs = np.asarray(traj.root_qs)
+        z = (1.0 - value_target_mix) * z + value_target_mix * root_qs
 
     mask = active.reshape(-1)
     states = encode_board_np(
@@ -210,6 +262,8 @@ class ContinuousRecords(NamedTuple):
     boards: jax.Array    # int8 [T, B, H, W] board BEFORE the move
     players: jax.Array   # int32 [T, B] player to move
     pis: jax.Array       # f32 [T, B, A]
+    root_qs: jax.Array   # f32 [T, B] root value estimate (side-to-move view)
+    recorded: jax.Array  # bool [T, B] ply is a policy sample (not a random opening)
     ended: jax.Array     # bool [T, B] game finished (or hit cap) on this ply
     winners: jax.Array   # int32 [T, B] winner where ended (0 = draw/cap)
 
@@ -232,19 +286,25 @@ def play_games_continuous(
     batch = cfg.batch_games
     max_moves = cfg.resolved_max_moves(env)
     fresh = env.init_batch(batch)
+    center = center_mask(env)
 
     def one_ply(carry, _):
         states, rng = carry
-        rng, k_search, k_sample = jax.random.split(rng, 3)
+        rng, k_search, k_sample, k_open = jax.random.split(rng, 4)
 
-        pi = run_mcts(env, cfg.mcts, eval_fn, net_params, states,
-                      states.move_count, k_search)
+        pi, root_q = run_mcts_with_q(env, cfg.mcts, eval_fn, net_params,
+                                     states, states.move_count, k_search)
         temp = jnp.maximum(
             0.0, 1.0 - states.move_count.astype(jnp.float32)
             / cfg.temp_threshold
         )
         legal = jax.vmap(env.legal_mask)(states)
         actions = sample_actions(pi, temp, legal, k_sample)
+        is_open = states.move_count < cfg.opening_random_moves
+        if cfg.opening_random_moves:
+            rand_actions = random_center_actions(
+                k_open, legal.astype(jnp.float32), center)
+            actions = jnp.where(is_open, rand_actions, actions)
 
         record_board = states.board
         record_player = states.to_move
@@ -261,22 +321,28 @@ def play_games_continuous(
             ),
             fresh, states,
         )
-        return (states, rng), (record_board, record_player, pi, ended, winners)
+        return (states, rng), (record_board, record_player, pi, root_q,
+                               ~is_open, ended, winners)
 
-    (_, _), (boards, players, pis, ended, winners) = jax.lax.scan(
-        one_ply, (env.init_batch(batch), rng), None, length=total_steps
+    (_, _), (boards, players, pis, root_qs, recorded, ended, winners) = (
+        jax.lax.scan(one_ply, (env.init_batch(batch), rng), None,
+                     length=total_steps)
     )
     return ContinuousRecords(boards=boards, players=players, pis=pis,
+                             root_qs=root_qs, recorded=recorded,
                              ended=ended, winners=winners)
 
 
 def collect_examples_continuous(
-    rec: ContinuousRecords, use_symmetries: bool = True
+    rec: ContinuousRecords, use_symmetries: bool = True,
+    value_target_mix: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, dict]:
     """Assign z per record from its game segment's outcome (host side).
 
     Records belonging to games still unfinished at the end of the stream
-    are dropped (their outcome is unknown).
+    are dropped (their outcome is unknown), as are random-opening plies.
+    ``value_target_mix`` softens z toward the root search value (see
+    :func:`collect_examples`).
     """
     boards = np.asarray(rec.boards)
     players = np.asarray(rec.players)
@@ -298,8 +364,11 @@ def collect_examples_continuous(
 
     z = np.where(win_fwd == 0, 0.0,
                  np.where(win_fwd == players, 1.0, -1.0)).astype(np.float32)
+    if value_target_mix > 0.0:
+        root_qs = np.asarray(rec.root_qs)
+        z = (1.0 - value_target_mix) * z + value_target_mix * root_qs
 
-    mask = has_end.reshape(-1)
+    mask = (has_end & np.asarray(rec.recorded)).reshape(-1)
     states = encode_board_np(
         boards.reshape(-1, *boards.shape[2:]), players.reshape(-1)
     )[mask]
