@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--dirichlet-n-moves", type=int, default=10)
     ap.add_argument("--mcts-max-depth", type=int, default=64,
                     help="select-walk depth cap (0 = unbounded)")
+    ap.add_argument("--mcts-backend", default="xla",
+                    choices=["xla", "pallas"],
+                    help="tree-op implementation: XLA gather/scatter or "
+                         "Pallas packed-row DMA kernels")
     ap.add_argument("--n-res-blocks", type=int, default=3)
     ap.add_argument("--channels", type=int, default=64)
     ap.add_argument("--lr", type=float, default=1e-3)
@@ -86,6 +90,7 @@ def main(argv=None):
         dirichlet_epsilon=args.dirichlet_epsilon,
         dirichlet_n_moves=args.dirichlet_n_moves,
         mcts_max_depth=args.mcts_max_depth,
+        mcts_backend=args.mcts_backend,
         n_res_blocks=args.n_res_blocks,
         channels=args.channels,
         lr=args.lr,

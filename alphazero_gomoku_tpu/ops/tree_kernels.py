@@ -1,0 +1,344 @@
+"""Pallas TPU kernels for the MCTS array-tree walk (select + backup).
+
+Round-1 profiling put ~63% of self-play move time in the tree phases of
+``search/tree.py``: the select walk's per-lane row gathers and the backup
+walk's per-lane scatter-adds, which XLA lowers to serialized dynamic-slice
+loops with heavy per-op overhead (and which hard-fault the TPU worker
+outright at larger ``games x sims`` products — see ROADMAP.md).  These
+kernels replace that lowering with explicit row DMAs:
+
+  - Tree node data is packed into ONE f32 row per node
+    (:func:`packed_layout`): visit counts N, total values W, signed priors
+    P (illegal = -1), child indices C (-1 = unexpanded, stored exactly as
+    small-int f32), and a done flag — each segment 128-lane aligned.  A
+    select hop is then a single ~4.6 KB DMA per game lane instead of four
+    XLA gathers over [B, n_nodes, A] arrays.
+  - :func:`select_walk` walks all B lanes in lockstep: per hop it issues B
+    concurrent row DMAs (HBM -> VMEM), computes the PUCT argmax vectorized
+    over the [B, row] tile, and advances each lane; lanes stop on a
+    terminal node, an unexpanded edge, or the depth cap, and the walk's
+    (node, action) path is recorded for the backup pass.
+  - :func:`backup_paths` replays each lane's recorded path, read-modify-
+    writing one packed row per hop per lane (N[a] += 1, W[a] += ±v with the
+    per-hop perspective flip, and C[a] = slot on the expansion edge), again
+    as B concurrent row DMAs per hop instead of XLA scatters.
+
+Semantics are bit-compatible with the XLA reference implementation in
+``search/tree.py`` (same f32 PUCT formula, same first-max argmax
+tie-breaking, same terminal/depth-cap handling); the differential test in
+``tests/test_tree_kernels.py`` checks exact agreement of the visit-count
+policies.  Reference search semantics:
+``/root/reference/mcts/new_mcts_alpha.py:102-151``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class PackedLayout(NamedTuple):
+    """Segment offsets of one packed node row (all f32, lane-aligned).
+
+    Row = [ N(0:A) | W(S:S+A) | P(2S:2S+A) | C(3S:3S+A) | done(4S) ] with
+    S = A rounded up to 128 lanes and the row padded to a 128 multiple.
+    """
+
+    num_actions: int   # A
+    seg: int           # S: segment stride (A rounded to 128)
+    row: int           # R: total row width
+    n_nodes: int
+
+
+def packed_layout(num_actions: int, n_nodes: int) -> PackedLayout:
+    seg = _round_up(num_actions, 128)
+    return PackedLayout(
+        num_actions=num_actions,
+        seg=seg,
+        row=4 * seg + 128,
+        n_nodes=n_nodes,
+    )
+
+
+# ----------------------------------------------------------------------
+# select kernel
+# ----------------------------------------------------------------------
+def _select_kernel(layout: PackedLayout, cpuct: float, depth_limit: int,
+                   packed_hbm,
+                   leaf_ref, act_ref, pnodes_ref, pacts_ref, plen_ref,
+                   rows_vmem, nodes_vmem, stopped_vmem, sems):
+    a = layout.num_actions
+    s = layout.seg
+    b = rows_vmem.shape[0]
+    iota_a = jax.lax.broadcasted_iota(jnp.int32, (b, a), 1)
+
+    nodes_vmem[:] = jnp.zeros((b, 1), jnp.int32)
+    stopped_vmem[:] = jnp.zeros((b, 1), jnp.int32)
+    plen_ref[:] = jnp.zeros((b, 1), jnp.int32)
+    leaf_ref[:] = jnp.zeros((b, 1), jnp.int32)
+    act_ref[:] = jnp.full((b, 1), -1, jnp.int32)
+    pnodes_ref[:] = jnp.zeros_like(pnodes_ref)
+    pacts_ref[:] = jnp.zeros_like(pacts_ref)
+
+    def fetch_rows():
+        def start(i, _):
+            ni = nodes_vmem[i, 0]
+            pltpu.make_async_copy(
+                packed_hbm.at[i, ni], rows_vmem.at[i], sems.at[i]
+            ).start()
+            return 0
+        jax.lax.fori_loop(0, b, start, 0)
+
+        def wait(i, _):
+            ni = nodes_vmem[i, 0]
+            pltpu.make_async_copy(
+                packed_hbm.at[i, ni], rows_vmem.at[i], sems.at[i]
+            ).wait()
+            return 0
+        jax.lax.fori_loop(0, b, wait, 0)
+
+    def cond(carry):
+        h, all_stopped = carry
+        return jnp.logical_and(h < depth_limit, jnp.logical_not(all_stopped))
+
+    def body(carry):
+        h, _ = carry
+        fetch_rows()
+        rows = rows_vmem[:]
+        nodes = nodes_vmem[:]
+        active = stopped_vmem[:] == 0
+
+        n = rows[:, 0:a]
+        w = rows[:, s:s + a]
+        p = rows[:, 2 * s:2 * s + a]
+        done = rows[:, 4 * s:4 * s + 1] > 0.5
+
+        # PUCT, formula-identical to tree._puct_scores (f32 throughout)
+        pmax = jnp.maximum(p, 0.0)
+        sqrt_sum = jnp.sqrt(jnp.sum(n, axis=1, keepdims=True))
+        scores = w / (1.0 + n) + cpuct * pmax * sqrt_sum / (1.0 + n)
+        scores = jnp.where(p >= 0.0, scores, NEG_INF)
+        action = jnp.argmax(scores, axis=1).astype(jnp.int32)[:, None]
+
+        onehot = iota_a == action
+        child = jnp.sum(
+            jnp.where(onehot, rows[:, 3 * s:3 * s + a], 0.0),
+            axis=1, keepdims=True,
+        ).astype(jnp.int32)
+
+        walking = jnp.logical_and(active, jnp.logical_not(done))
+        expandable = child < 0
+        # lanes taking an edge this hop (to a child or into an expansion)
+        # record (node, action) at the lockstep column h
+        rec = walking
+        rec_row = jnp.reshape(jnp.where(rec, nodes, -1), (1, b))
+        act_row = jnp.reshape(jnp.where(rec, action, -1), (1, b))
+        pnodes_ref[pl.ds(h, 1), :] = rec_row
+        pacts_ref[pl.ds(h, 1), :] = act_row
+        plen_ref[:] = plen_ref[:] + rec.astype(jnp.int32)
+
+        stop_done = jnp.logical_and(active, done)
+        stop_expand = jnp.logical_and(walking, expandable)
+        stop_now = jnp.logical_or(stop_done, stop_expand)
+
+        act_ref[:] = jnp.where(stop_expand, action, act_ref[:])
+        leaf_ref[:] = jnp.where(stop_now, nodes, leaf_ref[:])
+        nodes_vmem[:] = jnp.where(
+            jnp.logical_and(walking, jnp.logical_not(expandable)),
+            child, nodes,
+        )
+        stopped_vmem[:] = jnp.maximum(
+            stopped_vmem[:], stop_now.astype(jnp.int32)
+        )
+        all_stopped = jnp.all(stopped_vmem[:] == 1)
+        return h + 1, all_stopped
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(False)))
+
+    # lanes still walking hit the depth cap: leaf = current node, action -1
+    # (matches tree._select_and_expand's `capped` stop)
+    still = stopped_vmem[:] == 0
+    leaf_ref[:] = jnp.where(still, nodes_vmem[:], leaf_ref[:])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("layout", "cpuct", "depth_limit",
+                                    "interpret"))
+def select_walk(packed: jax.Array, layout: PackedLayout, cpuct: float,
+                depth_limit: int, interpret: bool = False):
+    """Lockstep PUCT select over B packed trees.
+
+    Args:
+        packed: f32 [B, n_nodes, row] packed node rows (HBM).
+    Returns:
+        leaf [B] i32 node each lane stopped on; action [B] i32 (the edge to
+        expand, -1 when the lane stopped on a terminal/depth-capped node);
+        path_nodes/path_actions [depth, B] i32 and path_len [B] i32 for the
+        backup pass.
+    """
+    b = packed.shape[0]
+    d = depth_limit
+    kernel = functools.partial(_select_kernel, layout, cpuct, depth_limit)
+    out = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, 1), jnp.int32),   # leaf
+            jax.ShapeDtypeStruct((b, 1), jnp.int32),   # action
+            jax.ShapeDtypeStruct((d, b), jnp.int32),   # path nodes
+            jax.ShapeDtypeStruct((d, b), jnp.int32),   # path actions
+            jax.ShapeDtypeStruct((b, 1), jnp.int32),   # path len
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((b, layout.row), jnp.float32),
+            pltpu.VMEM((b, 1), jnp.int32),
+            pltpu.VMEM((b, 1), jnp.int32),
+            pltpu.SemaphoreType.DMA((b,)),
+        ],
+        interpret=interpret,
+    )(packed)
+    leaf, action, pnodes, pacts, plen = out
+    return leaf[:, 0], action[:, 0], pnodes, pacts, plen[:, 0]
+
+
+# ----------------------------------------------------------------------
+# backup kernel
+# ----------------------------------------------------------------------
+def _backup_kernel(layout: PackedLayout,
+                   packed_in, pnodes_ref, pacts_ref, plen_ref, values_ref,
+                   expanding_ref, slot_ref,
+                   packed_out, rows_vmem, sems):
+    a = layout.num_actions
+    s = layout.seg
+    b = rows_vmem.shape[0]
+    iota_a = jax.lax.broadcasted_iota(jnp.int32, (b, a), 1)
+
+    plen = plen_ref[:]          # [B, 1] i32
+    values = values_ref[:]      # [B, 1] f32
+    expanding = expanding_ref[:] == 1
+    slot = slot_ref[0, 0]
+    max_len = jnp.max(plen)
+
+    def cond(carry):
+        return carry < max_len
+
+    def body(i):
+        def start(k, _):
+            nk = pnodes_ref[i, k]
+            nk = jnp.maximum(nk, 0)  # inactive lanes read row 0 harmlessly
+            pltpu.make_async_copy(
+                packed_out.at[k, nk], rows_vmem.at[k], sems.at[k]
+            ).start()
+            return 0
+        jax.lax.fori_loop(0, b, start, 0)
+
+        def wait(k, _):
+            nk = jnp.maximum(pnodes_ref[i, k], 0)
+            pltpu.make_async_copy(
+                packed_out.at[k, nk], rows_vmem.at[k], sems.at[k]
+            ).wait()
+            return 0
+        jax.lax.fori_loop(0, b, wait, 0)
+
+        rows = rows_vmem[:]
+        acts = jnp.reshape(pacts_ref[pl.ds(i, 1), :], (b, 1))
+        active = i < plen          # [B, 1]
+
+        # v at edge i (0 = root edge) is value * (-1)^(L - i): the leaf sits
+        # L hops below, and perspective flips once per hop up
+        # (tree._apply_eval_and_backup)
+        parity = jnp.bitwise_and(plen - i, 1) == 1
+        v = jnp.where(parity, -values, values)
+
+        onehot = jnp.logical_and(iota_a == acts, active)
+        oh_f = onehot.astype(jnp.float32)
+        rows_vmem[:, 0:a] = rows[:, 0:a] + oh_f
+        rows_vmem[:, s:s + a] = rows[:, s:s + a] + oh_f * v
+
+        # expansion edge (the path's last hop of an expanding lane) links
+        # the fresh slot into the children segment
+        is_exp = jnp.logical_and(expanding, i == plen - 1)
+        set_c = jnp.logical_and(onehot, is_exp)
+        rows_vmem[:, 3 * s:3 * s + a] = jnp.where(
+            set_c, slot.astype(jnp.float32), rows[:, 3 * s:3 * s + a]
+        )
+
+        def wstart(k, _):
+            nk = jnp.maximum(pnodes_ref[i, k], 0)
+            pltpu.make_async_copy(
+                rows_vmem.at[k], packed_out.at[k, nk], sems.at[k]
+            ).start()
+            return 0
+        jax.lax.fori_loop(0, b, wstart, 0)
+
+        def wwait(k, _):
+            nk = jnp.maximum(pnodes_ref[i, k], 0)
+            pltpu.make_async_copy(
+                rows_vmem.at[k], packed_out.at[k, nk], sems.at[k]
+            ).wait()
+            return 0
+        jax.lax.fori_loop(0, b, wwait, 0)
+        return i + 1
+
+    jax.lax.while_loop(cond, body, jnp.int32(0))
+
+
+@functools.partial(jax.jit, static_argnames=("layout", "interpret"))
+def backup_paths(packed: jax.Array, path_nodes: jax.Array,
+                 path_actions: jax.Array, path_len: jax.Array,
+                 values: jax.Array, expanding: jax.Array, slot: jax.Array,
+                 layout: PackedLayout,
+                 interpret: bool = False) -> jax.Array:
+    """Apply one simulation's backup along each lane's recorded path.
+
+    In-place on ``packed`` (aliased); returns the updated array.  ``slot``
+    (i32 scalar, traced) is the node index expanded this simulation
+    (lane-uniform by construction); lanes with ``expanding[b] == 0``
+    stopped on a terminal or depth-capped node and only receive N/W
+    updates.
+    """
+    b = packed.shape[0]
+    kernel = functools.partial(_backup_kernel, layout)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),    # packed (aliased)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # path nodes
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # path actions
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # path len
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # values
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # expanding
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # slot
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct(packed.shape, packed.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((b, layout.row), jnp.float32),
+            pltpu.SemaphoreType.DMA((b,)),
+        ],
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(packed, path_nodes, path_actions,
+      path_len.reshape(b, 1).astype(jnp.int32),
+      values.reshape(b, 1).astype(jnp.float32),
+      expanding.reshape(b, 1).astype(jnp.int32),
+      jnp.asarray(slot, jnp.int32).reshape(1, 1))

@@ -52,6 +52,11 @@ class MCTSConfig:
     add_noise: bool = True
     max_nodes: Optional[int] = None  # default: n_simulations + 1
     max_depth: int = 0  # 0 = unbounded; see _select docstring
+    # "xla": gather/scatter tree ops (reference implementation);
+    # "pallas": packed-row DMA kernels (bit-identical results, faster on
+    # TPU and immune to the large-batch XLA scatter fault; see
+    # ops/tree_kernels.py)
+    backend: str = "xla"
 
     @property
     def node_capacity(self) -> int:
@@ -272,6 +277,32 @@ def _apply_eval_and_backup(env, tree: Tree, leaf, slot, probs, value,
 
 
 # ----------------------------------------------------------------------
+# root priors (shared by the XLA and Pallas search backends)
+# ----------------------------------------------------------------------
+def root_signed_priors(env, cfg: MCTSConfig, eval_fn: EvalFn, net_params,
+                       root_states, move_numbers, noise_key) -> jax.Array:
+    """Masked root priors with the Dirichlet gate applied; illegality is
+    encoded in the sign (-1.0), ready to store as a node's prior row."""
+    batch = root_states.done.shape[0]
+    a = env.num_actions
+    root_obs = jax.vmap(env.encode)(root_states)
+    root_probs, _ = eval_fn(net_params, root_obs)
+    root_probs = root_probs.reshape(batch, a)
+    root_legal = jax.vmap(env.legal_mask)(root_states).astype(root_probs.dtype)
+    priors = jax.vmap(_masked_priors)(root_probs, root_legal)
+
+    if cfg.add_noise:
+        noise = symmetric_dirichlet(noise_key, cfg.dirichlet_alpha, (batch, a))
+        noised = (1.0 - cfg.dirichlet_epsilon) * priors \
+            + cfg.dirichlet_epsilon * noise
+        noised = noised / jnp.sum(noised, axis=-1, keepdims=True)
+        gate = (move_numbers < cfg.dirichlet_moves)[:, None]
+        priors = jnp.where(gate, noised, priors)
+
+    return jnp.where(root_legal > 0, priors, -1.0)
+
+
+# ----------------------------------------------------------------------
 # entry point
 # ----------------------------------------------------------------------
 def init_tree(env, cfg: MCTSConfig, root_state) -> Tree:
@@ -335,27 +366,20 @@ def run_mcts_with_q(
     move — the same convention as the self-play outcome ``z``, making it
     usable as a soft value target (``value_target_mix`` in the trainer).
     """
+    if cfg.backend == "pallas":
+        from alphazero_gomoku_tpu.search.tree_pallas import run_mcts_packed
+        return run_mcts_packed(env, cfg, eval_fn, net_params, root_states,
+                               move_numbers, rng)
+    if cfg.backend != "xla":
+        raise ValueError(f"unknown MCTS backend: {cfg.backend!r}")
     batch = root_states.done.shape[0]
     a = env.num_actions
 
     trees = jax.vmap(lambda s: init_tree(env, cfg, s))(root_states)
 
-    # --- root evaluation (+ optional Dirichlet noise) -------------------
-    root_obs = jax.vmap(env.encode)(root_states)
-    root_probs, _ = eval_fn(net_params, root_obs)
-    root_probs = root_probs.reshape(batch, a)
-    root_legal = jax.vmap(env.legal_mask)(root_states).astype(root_probs.dtype)
-    priors = jax.vmap(_masked_priors)(root_probs, root_legal)
-
-    if cfg.add_noise:
-        rng, sub = jax.random.split(rng)
-        noise = symmetric_dirichlet(sub, cfg.dirichlet_alpha, (batch, a))
-        noised = (1.0 - cfg.dirichlet_epsilon) * priors + cfg.dirichlet_epsilon * noise
-        noised = noised / jnp.sum(noised, axis=-1, keepdims=True)
-        gate = (move_numbers < cfg.dirichlet_moves)[:, None]
-        priors = jnp.where(gate, noised, priors)
-
-    signed = jnp.where(root_legal > 0, priors, -1.0)
+    rng, sub = jax.random.split(rng)
+    signed = root_signed_priors(env, cfg, eval_fn, net_params, root_states,
+                                move_numbers, sub)
     trees = trees._replace(prior=trees.prior.at[:, 0, :].set(signed))
 
     # --- simulations ----------------------------------------------------

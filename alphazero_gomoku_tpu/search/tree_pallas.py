@@ -1,0 +1,167 @@
+"""MCTS driver over the packed node-row layout (Pallas tree kernels).
+
+Drop-in alternative to :func:`search.tree.run_mcts_with_q` producing
+bit-identical policies: the per-simulation select walk and backup run as
+Pallas kernels (:mod:`alphazero_gomoku_tpu.ops.tree_kernels`) instead of
+XLA gather/scatter loops, and the tree lives as ONE packed f32 array
+``[B, n_nodes, row]`` instead of separate N/W/prior/children tensors.
+Everything else — root evaluation + Dirichlet noise, the game-step on
+expansion, leaf evaluation by the network, terminal handling — stays plain
+XLA and is shared with the reference implementation in ``tree.py``.
+
+Per simulation (all inside one ``lax.scan`` step, no host round-trips):
+  1. ``select_walk`` kernel: PUCT walk to an unexpanded edge / terminal /
+     depth cap; returns leaf, expansion action, and the walk path.
+  2. XLA: gather the leaf's game state (one row per lane), ``env.step`` the
+     expansion edge, write the new state at the lane-uniform ``slot``
+     (dense dynamic-update-slice), evaluate the network on the new leaf.
+  3. XLA: compose the fresh node's packed row (zero stats, signed priors,
+     unexpanded children, done flag) and write it at ``slot`` (dense).
+  4. ``backup_paths`` kernel: N/W updates along the recorded path with the
+     per-hop perspective flip; links ``slot`` into the parent's children
+     segment on the expansion edge.
+
+Reference semantics: ``/root/reference/mcts/new_mcts_alpha.py:102-151``
+(same citations as ``tree.py``; see that module's header for the conscious
+deltas, all of which apply here unchanged).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from alphazero_gomoku_tpu.ops.tree_kernels import (
+    backup_paths,
+    packed_layout,
+    select_walk,
+)
+from alphazero_gomoku_tpu.search.tree import (
+    EvalFn,
+    MCTSConfig,
+    _signed_priors,
+    root_signed_priors,
+)
+
+
+def run_mcts_packed(
+    env,
+    cfg: MCTSConfig,
+    eval_fn: EvalFn,
+    net_params,
+    root_states,
+    move_numbers,
+    rng: jax.Array,
+    interpret: bool = None,
+):
+    """Batched MCTS on the packed layout: returns ``(pi [B, A], root_q [B])``.
+
+    Matches :func:`tree.run_mcts_with_q` exactly (same PRNG stream, same
+    f32 arithmetic, same argmax tie-breaking); differential-tested in
+    ``tests/test_tree_kernels.py``.  ``interpret=None`` auto-selects the
+    Pallas interpreter off-TPU (CPU tests/debug) and Mosaic on TPU.
+    """
+    if interpret is None:
+        # Mosaic-compile on accelerators (incl. the axon TPU plugin);
+        # interpret on the CPU backend (tests/debug)
+        interpret = jax.default_backend() == "cpu"
+    batch = root_states.done.shape[0]
+    a = env.num_actions
+    n = cfg.node_capacity
+    layout = packed_layout(a, n)
+    s = layout.seg
+
+    def compose_rows(signed_priors, done):
+        """[B, A] signed priors + [B] done -> fresh packed rows [B, R]."""
+        row = jnp.zeros((batch, layout.row), jnp.float32)
+        row = row.at[:, 2 * s:2 * s + a].set(signed_priors)
+        row = row.at[:, 3 * s:3 * s + a].set(-1.0)
+        row = row.at[:, 4 * s].set(done.astype(jnp.float32))
+        return row
+
+    # --- states stack [B, N, ...] with the root at node 0 ----------------
+    def stack_field(x):
+        z = jnp.zeros((batch, n) + x.shape[1:], x.dtype)
+        return z.at[:, 0].set(x)
+
+    states = jax.tree_util.tree_map(stack_field, root_states)
+
+    # --- root priors (+ Dirichlet), same PRNG protocol as tree.py --------
+    rng, sub = jax.random.split(rng)
+    signed = root_signed_priors(env, cfg, eval_fn, net_params, root_states,
+                                move_numbers, sub)
+
+    packed = jnp.zeros((batch, n, layout.row), jnp.float32)
+    packed = packed.at[:, :, 3 * s:3 * s + a].set(-1.0)
+    packed = packed.at[:, 0, :].set(compose_rows(signed, root_states.done))
+
+    # --- simulations ------------------------------------------------------
+    def one_sim(carry, sim_idx):
+        packed, states = carry
+        slot = sim_idx + 1
+
+        leaf, action, pnodes, pacts, plen = select_walk(
+            packed, layout, cfg.cpuct, cfg.depth_limit, interpret=interpret
+        )
+        expanding = action >= 0
+        safe_action = jnp.maximum(action, 0)
+
+        parent_state = jax.tree_util.tree_map(
+            lambda x: jax.vmap(lambda xb, i: xb[i])(x, leaf), states
+        )
+        child_state = jax.vmap(env.step)(parent_state, safe_action)
+        # orphan slots (terminal/capped stops) get a copy of the stop node's
+        # state; nothing ever links to them (tree._select_and_expand)
+        write_state = jax.tree_util.tree_map(
+            lambda c, p: jnp.where(
+                expanding.reshape((-1,) + (1,) * (c.ndim - 1)), c, p
+            ),
+            child_state, parent_state,
+        )
+        states = jax.tree_util.tree_map(
+            lambda st, ws: jax.vmap(
+                lambda stb, wsb: jax.lax.dynamic_update_index_in_dim(
+                    stb, wsb, slot, 0)
+            )(st, ws),
+            states, write_state,
+        )
+
+        obs = jax.vmap(env.encode)(write_state)
+        probs, values = eval_fn(net_params, obs)
+        probs = probs.reshape(batch, a)
+        values = values.reshape(batch)
+
+        terminal = write_state.done
+        leaf_value = jnp.where(
+            terminal, jax.vmap(env.terminal_value)(write_state), values
+        ).astype(jnp.float32)
+
+        legal = jax.vmap(env.legal_mask)(write_state).astype(probs.dtype)
+        slot_rows = compose_rows(
+            jax.vmap(_signed_priors)(probs, legal), write_state.done
+        )
+        packed = jax.vmap(
+            lambda pb, rb: jax.lax.dynamic_update_index_in_dim(pb, rb, slot, 0)
+        )(packed, slot_rows)
+
+        packed = backup_paths(
+            packed, pnodes, pacts, plen, leaf_value,
+            expanding.astype(jnp.int32), slot, layout, interpret=interpret,
+        )
+        return (packed, states), None
+
+    (packed, _), _ = jax.lax.scan(
+        one_sim, (packed, states),
+        jnp.arange(cfg.n_simulations, dtype=jnp.int32),
+    )
+
+    # --- visit-count policy + root value (as tree.run_mcts_with_q) -------
+    counts = packed[:, 0, 0:a]
+    totals = jnp.sum(counts, axis=-1, keepdims=True)
+    legal01 = (packed[:, 0, 2 * s:2 * s + a] >= 0.0).astype(jnp.float32)
+    uniform = legal01 / jnp.maximum(
+        jnp.sum(legal01, axis=-1, keepdims=True), 1.0)
+    pi = jnp.where(totals > 0, counts / jnp.maximum(totals, 1e-30), uniform)
+    root_w = jnp.sum(packed[:, 0, s:s + a], axis=-1)
+    root_q = root_w / jnp.maximum(totals[:, 0], 1.0)
+    return pi, root_q

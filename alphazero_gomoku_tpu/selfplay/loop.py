@@ -109,6 +109,7 @@ def train_alphazero(
     dirichlet_epsilon: float = 0.25,
     dirichlet_n_moves: int = 30,
     mcts_max_depth: int = 64,          # select-walk cap (0 = unbounded)
+    mcts_backend: str = "xla",         # "xla" | "pallas" (tree kernels)
     # --- network (reference trainer defaults: 3 blocks / 64 ch) ---
     n_res_blocks: int = 3,
     channels: int = 64,
@@ -209,11 +210,12 @@ def train_alphazero(
             dirichlet_moves=dirichlet_n_moves,
             add_noise=True,
             max_depth=mcts_max_depth,
+            backend=mcts_backend,
         ),
     )
     arena_cfg = MCTSConfig(
         n_simulations=eval_mcts_simulations, cpuct=cpuct, add_noise=False,
-        max_depth=mcts_max_depth,
+        max_depth=mcts_max_depth, backend=mcts_backend,
     )
     if selfplay_mode == "continuous":
         steps = selfplay_steps or env.num_actions

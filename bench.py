@@ -31,7 +31,8 @@ def run_bench(batch_games: int = 64, n_simulations: int = 400,
               board_size: int = 15, n_res_blocks: int = 6,
               channels: int = 128, warmup_moves: int = 8,
               measure_moves: int = 48, seed: int = 0,
-              dtype: str = "float32", fused: bool = False) -> dict:
+              dtype: str = "float32", fused: bool = False,
+              backend: str = "xla") -> dict:
     from alphazero_gomoku_tpu.games import make_env
     from alphazero_gomoku_tpu.models import AZModel
     from alphazero_gomoku_tpu.search import MCTSConfig
@@ -57,7 +58,7 @@ def run_bench(batch_games: int = 64, n_simulations: int = 400,
         mcts=MCTSConfig(n_simulations=n_simulations, cpuct=1.0,
                         add_noise=True, dirichlet_alpha=0.05,
                         dirichlet_epsilon=0.15, dirichlet_moves=10,
-                        max_depth=56),
+                        max_depth=56, backend=backend),
     )
 
     import functools
