@@ -95,7 +95,13 @@ def play_one_game(first_name, second_name, game, game_name, size, metrics,
         t0 = time.time()
         move = request_move(seats[game.current_player], game, turn_number)
         if move is None:
-            break  # forfeit; wins tally below uses the final board state
+            # forfeit: credit the opposing seat, consistent with
+            # play.run_match and gui.engine (`return 3 - seat` semantics)
+            loser = game.current_player
+            name = first_name if loser == 2 else second_name
+            print(f"\n🏆 {name} wins by forfeit "
+                  f"(opponent failed to produce a move)")
+            return name
         metrics["move_made"][mover_name][key].append(move)
         metrics["time_for_each_move"][mover_name][key].append(
             time.time() - t0)

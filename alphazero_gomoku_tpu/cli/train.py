@@ -58,6 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--use-fused-inference", action="store_true",
                     help="use the fused Pallas inference kernel for "
                          "self-play/arena leaf evaluation")
+    ap.add_argument("--profile-trace-dir", default=None,
+                    help="capture an XProf device trace of the 2nd "
+                         "iteration into this directory")
     ap.add_argument("--no-symmetries", action="store_true")
     ap.add_argument("--selfplay-mode", default="lockstep",
                     choices=["lockstep", "continuous"])
@@ -100,6 +103,7 @@ def main(argv=None):
         value_target_mix=args.value_target_mix,
         opening_random_moves=args.opening_random_moves,
         use_fused_inference=args.use_fused_inference,
+        profile_trace_dir=args.profile_trace_dir,
         use_symmetries=not args.no_symmetries,
         selfplay_mode=args.selfplay_mode,
         selfplay_steps=args.selfplay_steps,

@@ -10,18 +10,21 @@ kernels replace that lowering with explicit row DMAs:
   - Tree node data is packed into ONE f32 row per node
     (:func:`packed_layout`): visit counts N, total values W, signed priors
     P (illegal = -1), child indices C (-1 = unexpanded, stored exactly as
-    small-int f32), and a done flag — each segment 128-lane aligned.  A
-    select hop is then a single ~4.6 KB DMA per game lane instead of four
-    XLA gathers over [B, n_nodes, A] arrays.
+    small-int f32), and a done flag — each segment 128-lane aligned.
+  - Mosaic requires memref slices to respect the (8, 128) f32 tiling even
+    in HBM, so rows are moved in ALIGNED GROUPS OF 8: a hop DMAs the
+    8-row group containing the target node ([8, row] ~ 37 KB) and selects
+    the row with an 8-way masked reduction on the VPU.  One DMA per game
+    lane per hop, versus four XLA gathers over [B, n_nodes, A] arrays.
   - :func:`select_walk` walks all B lanes in lockstep: per hop it issues B
-    concurrent row DMAs (HBM -> VMEM), computes the PUCT argmax vectorized
-    over the [B, row] tile, and advances each lane; lanes stop on a
-    terminal node, an unexpanded edge, or the depth cap, and the walk's
-    (node, action) path is recorded for the backup pass.
+    concurrent group DMAs (HBM -> VMEM), computes the PUCT argmax
+    vectorized over the [B, row] tile, and advances each lane; lanes stop
+    on a terminal node, an unexpanded edge, or the depth cap, and the
+    walk's (node, action) path is recorded for the backup pass.
   - :func:`backup_paths` replays each lane's recorded path, read-modify-
-    writing one packed row per hop per lane (N[a] += 1, W[a] += ±v with the
-    per-hop perspective flip, and C[a] = slot on the expansion edge), again
-    as B concurrent row DMAs per hop instead of XLA scatters.
+    writing one packed row group per hop per lane (N[a] += 1, W[a] += ±v
+    with the per-hop perspective flip, and C[a] = slot on the expansion
+    edge), again as B concurrent DMAs per hop instead of XLA scatters.
 
 Semantics are bit-compatible with the XLA reference implementation in
 ``search/tree.py`` (same f32 PUCT formula, same first-max argmax
@@ -42,6 +45,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
+GROUP = 8  # f32 sublane tile: DMA slices must move whole 8-row groups
 
 
 def _round_up(x: int, m: int) -> int:
@@ -53,12 +57,13 @@ class PackedLayout(NamedTuple):
 
     Row = [ N(0:A) | W(S:S+A) | P(2S:2S+A) | C(3S:3S+A) | done(4S) ] with
     S = A rounded up to 128 lanes and the row padded to a 128 multiple.
+    ``n_nodes`` is rounded up to the 8-row DMA group.
     """
 
     num_actions: int   # A
     seg: int           # S: segment stride (A rounded to 128)
     row: int           # R: total row width
-    n_nodes: int
+    n_nodes: int       # node capacity, multiple of GROUP
 
 
 def packed_layout(num_actions: int, n_nodes: int) -> PackedLayout:
@@ -67,8 +72,15 @@ def packed_layout(num_actions: int, n_nodes: int) -> PackedLayout:
         num_actions=num_actions,
         seg=seg,
         row=4 * seg + 128,
-        n_nodes=n_nodes,
+        n_nodes=_round_up(n_nodes, GROUP),
     )
+
+
+def _select_group_row(group_rows, sub_idx, b):
+    """[B, 8, R] group + [B, 1] sub-row index -> [B, R] selected rows."""
+    iota_g = jax.lax.broadcasted_iota(jnp.int32, (b, GROUP), 1)
+    mask = (iota_g == sub_idx).astype(group_rows.dtype)
+    return jnp.sum(group_rows * mask[:, :, None], axis=1)
 
 
 # ----------------------------------------------------------------------
@@ -91,19 +103,21 @@ def _select_kernel(layout: PackedLayout, cpuct: float, depth_limit: int,
     pnodes_ref[:] = jnp.zeros_like(pnodes_ref)
     pacts_ref[:] = jnp.zeros_like(pacts_ref)
 
-    def fetch_rows():
+    def fetch_groups():
         def start(i, _):
-            ni = nodes_vmem[i, 0]
+            g = (nodes_vmem[i, 0] // GROUP) * GROUP
             pltpu.make_async_copy(
-                packed_hbm.at[i, ni], rows_vmem.at[i], sems.at[i]
+                packed_hbm.at[i, pl.ds(g, GROUP), :], rows_vmem.at[i],
+                sems.at[i],
             ).start()
             return 0
         jax.lax.fori_loop(0, b, start, 0)
 
         def wait(i, _):
-            ni = nodes_vmem[i, 0]
+            g = (nodes_vmem[i, 0] // GROUP) * GROUP
             pltpu.make_async_copy(
-                packed_hbm.at[i, ni], rows_vmem.at[i], sems.at[i]
+                packed_hbm.at[i, pl.ds(g, GROUP), :], rows_vmem.at[i],
+                sems.at[i],
             ).wait()
             return 0
         jax.lax.fori_loop(0, b, wait, 0)
@@ -114,9 +128,9 @@ def _select_kernel(layout: PackedLayout, cpuct: float, depth_limit: int,
 
     def body(carry):
         h, _ = carry
-        fetch_rows()
-        rows = rows_vmem[:]
+        fetch_groups()
         nodes = nodes_vmem[:]
+        rows = _select_group_row(rows_vmem[:], nodes % GROUP, b)
         active = stopped_vmem[:] == 0
 
         n = rows[:, 0:a]
@@ -129,7 +143,14 @@ def _select_kernel(layout: PackedLayout, cpuct: float, depth_limit: int,
         sqrt_sum = jnp.sqrt(jnp.sum(n, axis=1, keepdims=True))
         scores = w / (1.0 + n) + cpuct * pmax * sqrt_sum / (1.0 + n)
         scores = jnp.where(p >= 0.0, scores, NEG_INF)
-        action = jnp.argmax(scores, axis=1).astype(jnp.int32)[:, None]
+        # lowest-index-of-max, order-independently: Mosaic's argmax does not
+        # guarantee numpy's first-occurrence tie-breaking, and fresh nodes
+        # (all scores 0) tie across every legal action
+        mx = jnp.max(scores, axis=1, keepdims=True)
+        action = jnp.min(
+            jnp.where(scores == mx, iota_a, jnp.int32(2 ** 30)),
+            axis=1, keepdims=True,
+        ).astype(jnp.int32)
 
         onehot = iota_a == action
         child = jnp.sum(
@@ -192,7 +213,7 @@ def select_walk(packed: jax.Array, layout: PackedLayout, cpuct: float,
     kernel = functools.partial(_select_kernel, layout, cpuct, depth_limit)
     out = pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -208,7 +229,7 @@ def select_walk(packed: jax.Array, layout: PackedLayout, cpuct: float,
             jax.ShapeDtypeStruct((b, 1), jnp.int32),   # path len
         ),
         scratch_shapes=[
-            pltpu.VMEM((b, layout.row), jnp.float32),
+            pltpu.VMEM((b, GROUP, layout.row), jnp.float32),
             pltpu.VMEM((b, 1), jnp.int32),
             pltpu.VMEM((b, 1), jnp.int32),
             pltpu.SemaphoreType.DMA((b,)),
@@ -225,11 +246,12 @@ def select_walk(packed: jax.Array, layout: PackedLayout, cpuct: float,
 def _backup_kernel(layout: PackedLayout,
                    packed_in, pnodes_ref, pacts_ref, plen_ref, values_ref,
                    expanding_ref, slot_ref,
-                   packed_out, rows_vmem, sems):
+                   packed_out, rows_vmem, hopnodes_vmem, sems):
     a = layout.num_actions
     s = layout.seg
     b = rows_vmem.shape[0]
     iota_a = jax.lax.broadcasted_iota(jnp.int32, (b, a), 1)
+    iota_g = jax.lax.broadcasted_iota(jnp.int32, (b, GROUP), 1)
 
     plen = plen_ref[:]          # [B, 1] i32
     values = values_ref[:]      # [B, 1] f32
@@ -241,26 +263,40 @@ def _backup_kernel(layout: PackedLayout,
         return carry < max_len
 
     def body(i):
+        # stage this hop's per-lane node indices as a [B, 1] column: scalar
+        # VMEM reads need a static lane index (dynamic lane offsets are not
+        # addressable), so the DMA loops read hopnodes_vmem[k, 0]
+        hop_nodes = jnp.reshape(pnodes_ref[pl.ds(i, 1), :], (b, 1))
+        hopnodes_vmem[:] = jnp.maximum(hop_nodes, 0)
+
         def start(k, _):
-            nk = pnodes_ref[i, k]
-            nk = jnp.maximum(nk, 0)  # inactive lanes read row 0 harmlessly
+            nk = hopnodes_vmem[k, 0]
+            g = (nk // GROUP) * GROUP
             pltpu.make_async_copy(
-                packed_out.at[k, nk], rows_vmem.at[k], sems.at[k]
+                packed_out.at[k, pl.ds(g, GROUP), :], rows_vmem.at[k],
+                sems.at[k],
             ).start()
             return 0
         jax.lax.fori_loop(0, b, start, 0)
 
         def wait(k, _):
-            nk = jnp.maximum(pnodes_ref[i, k], 0)
+            nk = hopnodes_vmem[k, 0]
+            g = (nk // GROUP) * GROUP
             pltpu.make_async_copy(
-                packed_out.at[k, nk], rows_vmem.at[k], sems.at[k]
+                packed_out.at[k, pl.ds(g, GROUP), :], rows_vmem.at[k],
+                sems.at[k],
             ).wait()
             return 0
         jax.lax.fori_loop(0, b, wait, 0)
 
-        rows = rows_vmem[:]
+        groups = rows_vmem[:]   # [B, GROUP, R]
+        nodes = hopnodes_vmem[:]
         acts = jnp.reshape(pacts_ref[pl.ds(i, 1), :], (b, 1))
-        active = i < plen          # [B, 1]
+        active_f = (i < plen).astype(jnp.float32)       # [B, 1]
+        # masks as f32 throughout: Mosaic cannot broadcast i1 vectors into
+        # a new minor dim, 32-bit types only
+        sub_mask_f = (iota_g == nodes % GROUP).astype(jnp.float32) * active_f
+        onehot_f = (iota_a == acts).astype(jnp.float32) * active_f
 
         # v at edge i (0 = root edge) is value * (-1)^(L - i): the leaf sits
         # L hops below, and perspective flips once per hop up
@@ -268,31 +304,38 @@ def _backup_kernel(layout: PackedLayout,
         parity = jnp.bitwise_and(plen - i, 1) == 1
         v = jnp.where(parity, -values, values)
 
-        onehot = jnp.logical_and(iota_a == acts, active)
-        oh_f = onehot.astype(jnp.float32)
-        rows_vmem[:, 0:a] = rows[:, 0:a] + oh_f
-        rows_vmem[:, s:s + a] = rows[:, s:s + a] + oh_f * v
+        upd_f = sub_mask_f[:, :, None] * onehot_f[:, None, :]
+        rows_vmem[:, :, 0:a] = groups[:, :, 0:a] + upd_f
+        rows_vmem[:, :, s:s + a] = (
+            groups[:, :, s:s + a] + upd_f * v[:, :, None]
+        )
 
         # expansion edge (the path's last hop of an expanding lane) links
         # the fresh slot into the children segment
-        is_exp = jnp.logical_and(expanding, i == plen - 1)
-        set_c = jnp.logical_and(onehot, is_exp)
-        rows_vmem[:, 3 * s:3 * s + a] = jnp.where(
-            set_c, slot.astype(jnp.float32), rows[:, 3 * s:3 * s + a]
+        is_exp_f = (jnp.logical_and(expanding, i == plen - 1)
+                    .astype(jnp.float32))
+        set_c = upd_f * is_exp_f[:, :, None]
+        rows_vmem[:, :, 3 * s:3 * s + a] = jnp.where(
+            set_c > 0.5, slot.astype(jnp.float32),
+            groups[:, :, 3 * s:3 * s + a]
         )
 
         def wstart(k, _):
-            nk = jnp.maximum(pnodes_ref[i, k], 0)
+            nk = hopnodes_vmem[k, 0]
+            g = (nk // GROUP) * GROUP
             pltpu.make_async_copy(
-                rows_vmem.at[k], packed_out.at[k, nk], sems.at[k]
+                rows_vmem.at[k], packed_out.at[k, pl.ds(g, GROUP), :],
+                sems.at[k],
             ).start()
             return 0
         jax.lax.fori_loop(0, b, wstart, 0)
 
         def wwait(k, _):
-            nk = jnp.maximum(pnodes_ref[i, k], 0)
+            nk = hopnodes_vmem[k, 0]
+            g = (nk // GROUP) * GROUP
             pltpu.make_async_copy(
-                rows_vmem.at[k], packed_out.at[k, nk], sems.at[k]
+                rows_vmem.at[k], packed_out.at[k, pl.ds(g, GROUP), :],
+                sems.at[k],
             ).wait()
             return 0
         jax.lax.fori_loop(0, b, wwait, 0)
@@ -320,7 +363,7 @@ def backup_paths(packed: jax.Array, path_nodes: jax.Array,
     return pl.pallas_call(
         kernel,
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),    # packed (aliased)
+            pl.BlockSpec(memory_space=pltpu.HBM),    # packed (aliased)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # path nodes
             pl.BlockSpec(memory_space=pltpu.VMEM),   # path actions
             pl.BlockSpec(memory_space=pltpu.VMEM),   # path len
@@ -328,10 +371,11 @@ def backup_paths(packed: jax.Array, path_nodes: jax.Array,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # expanding
             pl.BlockSpec(memory_space=pltpu.SMEM),   # slot
         ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         out_shape=jax.ShapeDtypeStruct(packed.shape, packed.dtype),
         scratch_shapes=[
-            pltpu.VMEM((b, layout.row), jnp.float32),
+            pltpu.VMEM((b, GROUP, layout.row), jnp.float32),
+            pltpu.VMEM((b, 1), jnp.int32),
             pltpu.SemaphoreType.DMA((b,)),
         ],
         input_output_aliases={0: 0},

@@ -34,6 +34,7 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from alphazero_gomoku_tpu.models.model import train_step_fn
+from alphazero_gomoku_tpu.selfplay.arena import arena_half
 from alphazero_gomoku_tpu.selfplay.runner import (
     SelfPlayConfig,
     Trajectories,
@@ -90,7 +91,41 @@ def make_sharded_selfplay(env, cfg: SelfPlayConfig, eval_fn, mesh: Mesh,
     return jax.jit(mapped)
 
 
-def make_sharded_train_epoch(net_cfg, tx, mesh: Mesh, axis: str = "data"):
+def make_sharded_arena(env, cfg, eval_fn, mesh: Mesh, axis: str = "data"):
+    """Data-parallel arena: games split across chips, both parameter sets
+    replicated (the TPU replacement for reference P2,
+    ``/root/reference/train.py:492-569``).
+
+    Returns ``fn(params_p1, params_p2, n_games, rng) -> winners`` where
+    ``n_games`` is rounded UP to a multiple of the mesh size (callers read
+    the actually-played count from the result length).
+    """
+    n = mesh.devices.size
+
+    @functools.lru_cache(maxsize=None)
+    def build(local_games: int):
+        def shard_fn(p1, p2, rng):
+            shard_idx = jax.lax.axis_index(axis)
+            local_rng = jax.random.fold_in(rng, shard_idx)
+            return arena_half(env, cfg, eval_fn, p1, p2, local_games,
+                              local_rng)
+
+        return jax.jit(shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P(), P()),
+            out_specs=P(axis),
+            check_vma=False,
+        ))
+
+    def fn(params_p1, params_p2, n_games: int, rng):
+        local_games = -(-n_games // n)  # ceil: every chip plays equally
+        return build(local_games)(params_p1, params_p2, rng)
+
+    return fn
+
+
+def make_sharded_train_epoch(net_cfg, tx, mesh: Mesh, axis: str = "data",
+                             value_loss_weight: float = 1.0):
     """Gradient-data-parallel epoch: batches shard over chips, psum by XLA.
 
     Returns ``fn(params, batch_stats, opt_state, xs, pis, zs)`` where the
@@ -112,7 +147,7 @@ def make_sharded_train_epoch(net_cfg, tx, mesh: Mesh, axis: str = "data"):
             params, stats, opt = carry
             x, pi, z = batch
             params, stats, opt, metrics = train_step_fn(
-                net_cfg, tx, params, stats, opt, x, pi, z
+                net_cfg, tx, params, stats, opt, x, pi, z, value_loss_weight
             )
             return (params, stats, opt), metrics
 

@@ -11,8 +11,10 @@ Search semantics matched to the reference:
   - PUCT score ``W/(1+N) + cpuct * P * sqrt(sum N)/(1+N)`` with illegal
     actions at -1e9 (``new_mcts_alpha.py:136-140``); ties resolve to the
     lowest action index (numpy argmax convention).
-  - priors = softmax policy masked to legal moves and renormalized; uniform
-    over legal if the masked sum vanishes (``new_mcts_alpha.py:163-168``).
+  - priors = softmax policy masked to legal moves and NOT renormalized
+    (mass the network leaks onto illegal moves is simply dropped, exactly
+    like the reference); uniform over legal only if the masked sum
+    vanishes (``new_mcts_alpha.py:163-168``; see ``_masked_priors``).
   - root-only Dirichlet noise over the full action vector, gated on
     ``move_number < dirichlet_moves`` (``new_mcts_alpha.py:170-174``).
   - terminal value is 0 for draws and -1 for the side to move otherwise
@@ -57,6 +59,15 @@ class MCTSConfig:
     # TPU and immune to the large-batch XLA scatter fault; see
     # ops/tree_kernels.py)
     backend: str = "xla"
+    # terminal leaf value convention:
+    #   "always_loss": draws 0, otherwise -1 for the side to move — the
+    #     production reference (new_mcts_alpha.py:106-112);
+    #   "signed": +1 if the side to move is the winner else -1 — the legacy
+    #     reference (old_mcts_alpha.py:80-84).  In states reachable by play
+    #     the mover can never already have won (the opponent moved last),
+    #     so both modes coincide (tests/test_mcts.py); the flag exists to
+    #     formally cover the legacy search's semantic surface (SURVEY M2).
+    terminal_value_mode: str = "always_loss"
 
     @property
     def node_capacity(self) -> int:
@@ -99,24 +110,35 @@ EvalFn = Callable[[Any, jax.Array], Tuple[jax.Array, jax.Array]]
 # ----------------------------------------------------------------------
 # noise
 # ----------------------------------------------------------------------
+DIRICHLET_SERIES_TERMS = 8
+
+
 def symmetric_dirichlet(key: jax.Array, alpha: float, shape) -> jax.Array:
     """Loop-free symmetric Dirichlet(alpha) sampler over the last axis.
 
     ``jax.random.dirichlet``'s gamma sampler contains a rejection
     ``while_loop`` that interacts catastrophically with this module's
     nested search loops on TPU (measured 60x+ self-play slowdown), so noise
-    is drawn with the boost identity ``Gamma(a) = Gamma(a+1) * U^(1/a)`` in
-    log space and normalized with a softmax (no underflow at tiny alpha).
-    Gamma(a+1) for the small alphas used for root noise (a « 1) is
-    approximated by Exponential(1) = Gamma(1); the ``U^(1/a)`` factor spans
-    tens of nats and dominates, so the approximation error in the
-    normalized sample is negligible for exploration noise.
+    is drawn via the boost identity ``Gamma(a) = Gamma(a+1) * U^(1/a)``
+    unrolled into its exact series
+    ``Gamma(a) = sum_k E_k * prod_{j<=k} U_j^(1/a)`` (E ~ Exp(1), U ~
+    Uniform), truncated at ``DIRICHLET_SERIES_TERMS`` terms and evaluated
+    in log space with a final softmax (no underflow at tiny alpha).  The
+    truncation error of the normalized sample decays like
+    ``(a/(1+a))^K`` — at the K=8 default it is <0.6% relative for
+    alpha <= 1.0 and vanishing for the small alphas used as root noise;
+    distribution-tested against ``numpy.random.dirichlet`` across this
+    range (tests/test_mcts.py).
     """
     k_u, k_e = jax.random.split(key)
-    log_u = jnp.log(jax.random.uniform(k_u, shape, jnp.float32,
+    terms = (DIRICHLET_SERIES_TERMS,)
+    log_u = jnp.log(jax.random.uniform(k_u, terms + tuple(shape), jnp.float32,
                                        minval=1e-30, maxval=1.0))
-    exp = jax.random.exponential(k_e, shape, jnp.float32)
-    log_g = jnp.log(jnp.maximum(exp, 1e-30)) + log_u / alpha
+    exp = jax.random.exponential(k_e, terms + tuple(shape), jnp.float32)
+    # t_k = log(E_k) + (sum_{j<=k} log U_j) / alpha;  log G = logsumexp_k t_k
+    cum_log_u = jnp.cumsum(log_u, axis=0)
+    t = jnp.log(jnp.maximum(exp, 1e-30)) + cum_log_u / alpha
+    log_g = jax.nn.logsumexp(t, axis=0)
     return jax.nn.softmax(log_g, axis=-1)
 
 
@@ -165,6 +187,20 @@ def _signed_priors(probs, legal_f32):
 
 def _node_state(tree: Tree, idx):
     return jax.tree_util.tree_map(lambda stack: stack[idx], tree.states)
+
+
+def terminal_leaf_value(env, cfg: MCTSConfig, state) -> jax.Array:
+    """Terminal value per ``cfg.terminal_value_mode`` (single state)."""
+    if cfg.terminal_value_mode == "signed":
+        return jnp.where(
+            state.winner == 0, 0.0,
+            jnp.where(state.winner == state.to_move, 1.0, -1.0),
+        ).astype(jnp.float32)
+    if cfg.terminal_value_mode != "always_loss":
+        raise ValueError(
+            f"unknown terminal_value_mode: {cfg.terminal_value_mode!r}"
+        )
+    return env.terminal_value(state)
 
 
 # ----------------------------------------------------------------------
@@ -237,8 +273,8 @@ def _select_and_expand(env, cfg: MCTSConfig, tree: Tree, slot):
     return tree, leaf, child_legal
 
 
-def _apply_eval_and_backup(env, tree: Tree, leaf, slot, probs, value,
-                           child_legal) -> Tree:
+def _apply_eval_and_backup(env, cfg: MCTSConfig, tree: Tree, leaf, slot,
+                           probs, value, child_legal) -> Tree:
     """Store NN priors at the fresh slot and back up the leaf value.
 
     The prior write targets ``slot`` unconditionally (lane-uniform index =>
@@ -248,7 +284,7 @@ def _apply_eval_and_backup(env, tree: Tree, leaf, slot, probs, value,
     leaf_state = _node_state(tree, leaf)
     terminal = leaf_state.done
     leaf_value = jnp.where(
-        terminal, env.terminal_value(leaf_state), value
+        terminal, terminal_leaf_value(env, cfg, leaf_state), value
     ).astype(jnp.float32)
 
     priors = _signed_priors(probs, child_legal.astype(probs.dtype))
@@ -394,7 +430,7 @@ def run_mcts_with_q(
         values = values.reshape(batch)
         trees = jax.vmap(
             lambda t, l, p, v, cl: _apply_eval_and_backup(
-                env, t, l, slot, p, v, cl)
+                env, cfg, t, l, slot, p, v, cl)
         )(trees, leaves, probs, values, child_legal)
         return trees, None
 

@@ -41,6 +41,7 @@ from alphazero_gomoku_tpu.search.tree import (
     MCTSConfig,
     _signed_priors,
     root_signed_priors,
+    terminal_leaf_value,
 )
 
 
@@ -91,7 +92,7 @@ def run_mcts_packed(
     signed = root_signed_priors(env, cfg, eval_fn, net_params, root_states,
                                 move_numbers, sub)
 
-    packed = jnp.zeros((batch, n, layout.row), jnp.float32)
+    packed = jnp.zeros((batch, layout.n_nodes, layout.row), jnp.float32)
     packed = packed.at[:, :, 3 * s:3 * s + a].set(-1.0)
     packed = packed.at[:, 0, :].set(compose_rows(signed, root_states.done))
 
@@ -133,7 +134,10 @@ def run_mcts_packed(
 
         terminal = write_state.done
         leaf_value = jnp.where(
-            terminal, jax.vmap(env.terminal_value)(write_state), values
+            terminal,
+            jax.vmap(lambda st: terminal_leaf_value(env, cfg, st))(
+                write_state),
+            values,
         ).astype(jnp.float32)
 
         legal = jax.vmap(env.legal_mask)(write_state).astype(probs.dtype)

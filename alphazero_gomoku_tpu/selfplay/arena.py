@@ -89,28 +89,39 @@ def evaluate_params(
     params_best,
     n_games: int,
     rng: jax.Array,
+    arena_half_fn=None,
 ) -> Tuple[int, float, int]:
     """Candidate-vs-best arena. Returns (new_wins, win_rate, draws).
 
     The candidate takes P1 in even-indexed games (reference seat
     alternation), so it plays P1 in ceil(n/2) games and P2 in the rest.
+    ``arena_half_fn(p1, p2, n, rng) -> winners`` overrides the single-chip
+    kernel (the mesh-sharded arena from ``parallel.make_sharded_arena``;
+    it may round the per-half game count up so every chip plays equally —
+    the win rate uses the games actually played).
     """
     n_as_p1 = (n_games + 1) // 2
     n_as_p2 = n_games // 2
     rng_a, rng_b = jax.random.split(rng)
+    if arena_half_fn is None:
+        def arena_half_fn(p1, p2, n, key):
+            return arena_half(env, cfg, eval_fn, p1, p2, n, key)
 
     new_wins = 0
     draws = 0
+    played = 0
     if n_as_p1 > 0:
-        w = jax.device_get(arena_half(env, cfg, eval_fn, params_new,
-                                      params_best, n_as_p1, rng_a))
+        w = jax.device_get(arena_half_fn(params_new, params_best,
+                                         n_as_p1, rng_a))
         new_wins += int((w == 1).sum())
         draws += int((w == 0).sum())
+        played += int(w.shape[0])
     if n_as_p2 > 0:
-        w = jax.device_get(arena_half(env, cfg, eval_fn, params_best,
-                                      params_new, n_as_p2, rng_b))
+        w = jax.device_get(arena_half_fn(params_best, params_new,
+                                         n_as_p2, rng_b))
         new_wins += int((w == 2).sum())
         draws += int((w == 0).sum())
+        played += int(w.shape[0])
 
-    win_rate = new_wins / float(n_games) if n_games else 0.0
+    win_rate = new_wins / float(played) if played else 0.0
     return new_wins, win_rate, draws

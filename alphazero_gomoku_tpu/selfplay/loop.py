@@ -48,6 +48,12 @@ from alphazero_gomoku_tpu.selfplay.runner import (
     play_games,
     play_games_continuous,
 )
+from alphazero_gomoku_tpu.utils.profiling import (
+    PhaseTimer,
+    start_profiler_trace,
+    stop_profiler_trace,
+    trace_annotation,
+)
 
 
 def make_eval_fn(net_cfg):
@@ -135,7 +141,14 @@ def train_alphazero(
     # --- extras ---
     use_symmetries: bool = True,
     verbose: bool = True,
-    mesh=None,
+    profile_trace_dir: Optional[str] = None,  # capture a device trace of
+                                              # the 2nd iteration (XProf)
+    # device mesh: "auto" shards self-play, arena, and the gradient batch
+    # over ALL local devices when more than one is present (the default
+    # multi-chip path, replacing reference P1/P2 worker pools); pass an
+    # explicit jax.sharding.Mesh to control it, or None to force
+    # single-device execution
+    mesh="auto",
     use_fused_inference: bool = False,
     selfplay_mode: str = "lockstep",   # or "continuous" (auto-reset lanes)
     selfplay_steps: int = 0,           # continuous mode plies (0 = board^2)
@@ -152,6 +165,20 @@ def train_alphazero(
     os.makedirs(model_dir, exist_ok=True)
     env = make_env(game_name, board_size)
     action_size = env.num_actions
+
+    if isinstance(mesh, str) and mesh == "auto":
+        from alphazero_gomoku_tpu.parallel import make_mesh
+        mesh = make_mesh() if len(jax.devices()) > 1 else None
+    if mesh is not None:
+        n_chips = int(mesh.devices.size)
+        if selfplay_mode == "lockstep" and games_per_iteration % n_chips:
+            rounded = -(-games_per_iteration // n_chips) * n_chips
+            log(f"[mesh] rounding games_per_iteration "
+                f"{games_per_iteration} -> {rounded} "
+                f"(multiple of {n_chips} chips)")
+            games_per_iteration = rounded
+        log(f"[mesh] data-parallel over {n_chips} devices: "
+            f"gradient batch sharded, arena games split")
 
     def new_model():
         return AZModel(
@@ -217,7 +244,12 @@ def train_alphazero(
         n_simulations=eval_mcts_simulations, cpuct=cpuct, add_noise=False,
         max_depth=mcts_max_depth, backend=mcts_backend,
     )
+    arena_half_fn = None
+    sharded_epoch_fn = None
     if selfplay_mode == "continuous":
+        if mesh is not None:
+            log("[mesh] continuous self-play mode is single-device only; "
+                "running self-play unsharded (train/arena stay sharded)")
         steps = selfplay_steps or env.num_actions
         selfplay_jit = jax.jit(functools.partial(
             play_games_continuous, env, sp_cfg, eval_fn,
@@ -225,31 +257,54 @@ def train_alphazero(
         ))
         collect = collect_examples_continuous
     elif selfplay_mode == "lockstep":
-        selfplay_jit = jax.jit(
-            functools.partial(play_games, env, sp_cfg, eval_fn)
-        )
+        if mesh is not None:
+            from alphazero_gomoku_tpu.parallel import make_sharded_selfplay
+            selfplay_jit = make_sharded_selfplay(env, sp_cfg, eval_fn, mesh)
+        else:
+            selfplay_jit = jax.jit(
+                functools.partial(play_games, env, sp_cfg, eval_fn)
+            )
         collect = collect_examples
     else:
         raise ValueError(f"unknown selfplay_mode: {selfplay_mode!r}")
+    if mesh is not None:
+        from alphazero_gomoku_tpu.parallel import (
+            make_sharded_arena, make_sharded_train_epoch,
+        )
+        arena_half_fn = make_sharded_arena(env, arena_cfg, eval_fn, mesh)
+        if batch_size % mesh.devices.size == 0:
+            sharded_epoch_fn = make_sharded_train_epoch(
+                model_candidate.cfg, model_candidate.tx, mesh,
+                value_loss_weight=value_loss_weight,
+            )
+        else:
+            log(f"[mesh] batch_size {batch_size} not divisible by "
+                f"{mesh.devices.size} chips; training stays unsharded")
 
     rng_np = np.random.default_rng(seed)
     history = []
+    timer = PhaseTimer()
     end_iter = next_iteration_continuation + num_iterations
+    # trace the SECOND iteration: the first is dominated by compilation
+    trace_iter = next_iteration_continuation + 1 if profile_trace_dir else -1
 
     for it in range(next_iteration_continuation, end_iter):
         t_iter = time.time()
+        if it == trace_iter:
+            log(f"[profiler] capturing device trace of iteration {it} "
+                f"-> {start_profiler_trace(profile_trace_dir)}")
         log(f"\n=== ITER {it}/{end_iter - 1}: self-play "
             f"(games={games_per_iteration}, sims={n_simulations}) "
             f"@ {datetime.now().strftime('%Y-%m-%d %H:%M:%S')} ===")
 
         # ---- phase 1: self-play --------------------------------------
-        t0 = time.time()
-        traj = selfplay_jit(search_bundle(model_candidate),
-                            jax.random.PRNGKey(seed * 100003 + it))
-        states, pis, zs, winners = collect(
-            traj, use_symmetries=use_symmetries,
-            value_target_mix=value_target_mix,
-        )
+        with timer.phase("selfplay"), trace_annotation("selfplay"):
+            traj = selfplay_jit(search_bundle(model_candidate),
+                                jax.random.PRNGKey(seed * 100003 + it))
+            states, pis, zs, winners = collect(
+                traj, use_symmetries=use_symmetries,
+                value_target_mix=value_target_mix,
+            )
         buffer.add(states, pis, zs)
         if selfplay_mode == "continuous":
             n_moves = int(np.asarray(traj.ended).size)
@@ -259,48 +314,65 @@ def train_alphazero(
                     "records dropped; raise selfplay_steps")
         else:
             n_moves = int(np.asarray(traj.moves_played).sum())
-        sp_dt = time.time() - t0
+        sp_dt = timer.last["selfplay"]
         log(f"self-play done: {sp_dt:.1f}s, {n_moves} moves "
             f"({n_moves / max(sp_dt, 1e-9):.1f} moves/s), winners={winners}, "
             f"buffer={len(buffer)}")
 
         # ---- phase 2: train ------------------------------------------
-        t_train = time.time()
         loss_info = None
-        if len(buffer) >= batch_size:
-            n_batches = max(1, len(buffer) // batch_size)
-            log(f"training candidate: buffer={len(buffer)}, "
-                f"batch={batch_size}, epochs={epochs_per_iter}, "
-                f"steps/epoch={n_batches}")
-            for epoch in range(epochs_per_iter):
-                t1 = time.time()
-                xs, ps, zb = buffer.sample_many(n_batches, batch_size, rng_np)
-                (model_candidate.params, model_candidate.batch_stats,
-                 model_candidate.opt_state, metrics) = train_epoch_fn(
-                    model_candidate.cfg, model_candidate.tx,
-                    model_candidate.params, model_candidate.batch_stats,
-                    model_candidate.opt_state,
-                    jnp.asarray(xs), jnp.asarray(ps), jnp.asarray(zb),
-                    value_loss_weight)
-                loss_info = {k: float(v) for k, v in metrics.items()}
-                log(f"  epoch {epoch + 1}/{epochs_per_iter}: "
-                    f"{time.time() - t1:.1f}s, last_loss={loss_info}")
-        else:
-            log(f"not enough samples (buffer={len(buffer)} < {batch_size}); "
-                f"skipping training this iteration")
+        with timer.phase("train"), trace_annotation("train"):
+            if len(buffer) >= batch_size:
+                n_batches = max(1, len(buffer) // batch_size)
+                log(f"training candidate: buffer={len(buffer)}, "
+                    f"batch={batch_size}, epochs={epochs_per_iter}, "
+                    f"steps/epoch={n_batches}")
+                for epoch in range(epochs_per_iter):
+                    t1 = time.time()
+                    xs, ps, zb = buffer.sample_many(n_batches, batch_size,
+                                                    rng_np)
+                    if sharded_epoch_fn is not None:
+                        (model_candidate.params,
+                         model_candidate.batch_stats,
+                         model_candidate.opt_state,
+                         metrics) = sharded_epoch_fn(
+                            model_candidate.params,
+                            model_candidate.batch_stats,
+                            model_candidate.opt_state,
+                            jnp.asarray(xs), jnp.asarray(ps),
+                            jnp.asarray(zb))
+                    else:
+                        (model_candidate.params,
+                         model_candidate.batch_stats,
+                         model_candidate.opt_state,
+                         metrics) = train_epoch_fn(
+                            model_candidate.cfg, model_candidate.tx,
+                            model_candidate.params,
+                            model_candidate.batch_stats,
+                            model_candidate.opt_state,
+                            jnp.asarray(xs), jnp.asarray(ps),
+                            jnp.asarray(zb), value_loss_weight)
+                    loss_info = {k: float(v) for k, v in metrics.items()}
+                    log(f"  epoch {epoch + 1}/{epochs_per_iter}: "
+                        f"{time.time() - t1:.1f}s, last_loss={loss_info}")
+            else:
+                log(f"not enough samples (buffer={len(buffer)} < "
+                    f"{batch_size}); skipping training this iteration")
 
         # ---- phase 3: arena ------------------------------------------
-        t2 = time.time()
-        try:
-            new_wins, win_rate, draws = evaluate_params(
-                env, arena_cfg, eval_fn,
-                search_bundle(model_candidate), search_bundle(model_best),
-                eval_games, jax.random.PRNGKey(seed * 7919 + it),
-            )
-        except Exception as e:  # keep training alive (reference behaviour)
-            log(f"evaluation failed: {e}")
-            new_wins, win_rate, draws = 0, 0.0, 0
-        eval_dt = time.time() - t2
+        with timer.phase("arena"), trace_annotation("arena"):
+            try:
+                new_wins, win_rate, draws = evaluate_params(
+                    env, arena_cfg, eval_fn,
+                    search_bundle(model_candidate),
+                    search_bundle(model_best),
+                    eval_games, jax.random.PRNGKey(seed * 7919 + it),
+                    arena_half_fn=arena_half_fn,
+                )
+            except Exception as e:  # keep training alive (ref behaviour)
+                log(f"evaluation failed: {e}")
+                new_wins, win_rate, draws = 0, 0.0, 0
+        eval_dt = timer.last["arena"]
         log(f"eval done: {eval_dt:.1f}s, win_rate={win_rate:.3f} "
             f"({new_wins}/{eval_games}), draws={draws}")
 
@@ -315,16 +387,20 @@ def train_alphazero(
 
         # ---- phase 5: snapshot + persist buffer ----------------------
         snapshot_path = None
-        if it % save_every == 0:
-            ts = datetime.now().strftime("%Y%m%d_%H%M%S")
-            snapshot_path = os.path.join(
-                model_dir, f"snapshot_iter{it}_{ts}.ckpt"
-            )
-            model_best.save(snapshot_path)
-            # stable alias used by the player plugins' default model_path
-            model_best.save(os.path.join(model_dir, "best_latest.ckpt"))
-            log(f" saved snapshot: {snapshot_path}")
-        save_replay_buffer(buffer, buffer_path)
+        with timer.phase("checkpoint"):
+            if it % save_every == 0:
+                ts = datetime.now().strftime("%Y%m%d_%H%M%S")
+                snapshot_path = os.path.join(
+                    model_dir, f"snapshot_iter{it}_{ts}.ckpt"
+                )
+                model_best.save(snapshot_path)
+                # stable alias used by the player plugins' default model_path
+                model_best.save(os.path.join(model_dir, "best_latest.ckpt"))
+                log(f" saved snapshot: {snapshot_path}")
+            save_replay_buffer(buffer, buffer_path)
+        if it == trace_iter:
+            stop_profiler_trace()
+            log(f"[profiler] trace written to {profile_trace_dir}")
 
         log(f"iteration {it} finished in {(time.time() - t_iter):.1f}s; "
             f"winners={winners}")
@@ -332,9 +408,9 @@ def train_alphazero(
             "iteration": it,
             "winners": winners,
             "moves": n_moves,
-            "selfplay_seconds": sp_dt,
-            "train_seconds": round(t2 - t_train, 3),
+            "selfplay_seconds": round(sp_dt, 3),
             "eval_seconds": round(eval_dt, 3),
+            "train_seconds": round(timer.last.get("train", 0.0), 3),
             "loss": loss_info,
             "win_rate": win_rate,
             "draws": draws,
@@ -344,4 +420,5 @@ def train_alphazero(
         })
 
     log("\n=== training complete ===")
+    log(f"phase totals: {timer.summary()}")
     return history

@@ -217,19 +217,65 @@ def test_from_board_reconstruction():
     assert int(st2.winner) == 1 and bool(st2.done)
 
 
-def test_symmetric_dirichlet_distribution():
-    """Loop-free sampler matches numpy's true Dirichlet closely."""
+@pytest.mark.parametrize("alpha", [0.05, 0.3, 1.0])
+def test_symmetric_dirichlet_distribution(alpha):
+    """Loop-free sampler matches numpy's true Dirichlet closely — including
+    the moderate alphas (0.3-1.0) users can set via --dirichlet-alpha,
+    where the old single-term boost approximation was inaccurate."""
     from alphazero_gomoku_tpu.search.tree import symmetric_dirichlet
 
-    n, a, alpha = 2048, 225, 0.05
+    n, a = 2048, 225
     s = np.asarray(symmetric_dirichlet(jax.random.PRNGKey(0), alpha, (n, a)))
     assert s.shape == (n, a)
     np.testing.assert_allclose(s.sum(1), 1.0, atol=1e-5)
     assert (s >= 0).all()
     # symmetric: component means all ~ 1/a
     np.testing.assert_allclose(s.mean(0), 1.0 / a, atol=2e-3)
-    # spikiness statistic matches the real distribution
+    # spikiness statistics match the real distribution
     ref = np.random.default_rng(0).dirichlet([alpha] * a, n)
     got_med = np.median(s.max(1))
     ref_med = np.median(ref.max(1))
-    assert abs(got_med - ref_med) < 0.05, (got_med, ref_med)
+    assert abs(got_med - ref_med) < 0.05 * max(1.0, ref_med / 0.5), \
+        (alpha, got_med, ref_med)
+    got_mean = s.max(1).mean()
+    ref_mean = ref.max(1).mean()
+    assert abs(got_mean - ref_mean) < 0.05, (alpha, got_mean, ref_mean)
+
+
+def test_terminal_value_mode_signed_coincides_in_reachable_states():
+    """M2 close-out (legacy old_mcts_alpha.py:80-84): the signed terminal
+    value (+1 if the mover already won) coincides with the production
+    always-loss convention in every state reachable by play, because the
+    winner is always the player who just moved — never the side to move."""
+    from alphazero_gomoku_tpu.search.tree import (
+        run_mcts_with_q, terminal_leaf_value,
+    )
+
+    env = GomokuEnv(SIZE)
+    base = dict(n_simulations=24, cpuct=1.25, add_noise=False)
+    cfg_loss = MCTSConfig(**base)
+    cfg_signed = MCTSConfig(**base, terminal_value_mode="signed")
+
+    # a batch ending in real wins: search results must be identical
+    states = env.init_batch(3)
+    seq = [(3, 0), (0, 0), (3, 1), (0, 1), (3, 2), (0, 2), (3, 3), (0, 3)]
+    for r, c in seq:
+        states = jax.vmap(env.step_safe)(
+            states, jnp.full((3,), r * SIZE + c, jnp.int32))
+    moves = jnp.full((3,), 8, jnp.int32)
+    key = jax.random.PRNGKey(4)
+    pi_a, q_a = jax.jit(lambda s, k: run_mcts_with_q(
+        env, cfg_loss, fake_eval_jax, None, s, moves, k))(states, key)
+    pi_b, q_b = jax.jit(lambda s, k: run_mcts_with_q(
+        env, cfg_signed, fake_eval_jax, None, s, moves, k))(states, key)
+    np.testing.assert_array_equal(np.asarray(pi_a), np.asarray(pi_b))
+    np.testing.assert_array_equal(np.asarray(q_a), np.asarray(q_b))
+
+    # the modes DO differ on the unreachable "mover already won" state
+    st = env.init()
+    for r, c in seq + [(3, 4)]:
+        st = env.step(st, jnp.int32(r * SIZE + c))  # player 1 just won
+    forged = st._replace(to_move=jnp.int32(1))      # pretend winner to move
+    v_loss = float(terminal_leaf_value(env, cfg_loss, forged))
+    v_signed = float(terminal_leaf_value(env, cfg_signed, forged))
+    assert v_loss == -1.0 and v_signed == 1.0
