@@ -1,11 +1,17 @@
 #!/usr/bin/env python
-"""Benchmark: self-play throughput at 400 sims/move (BASELINE config #3).
+"""Benchmarks for the five BASELINE.json configs.
 
-Runs lockstep batched self-play of full 15x15 Gomoku games with the full
-6-block/128-channel network and 400 MCTS simulations per move on the
-available accelerator, and prints ONE JSON line:
+Default invocation (the driver contract) runs config #3 — lockstep
+self-play of full 15x15 Gomoku games, 6-block/128-channel network, 400
+MCTS simulations per move — and prints ONE JSON line:
 
     {"metric": ..., "value": N, "unit": "moves/sec", "vs_baseline": N}
+
+``python bench.py --all`` additionally runs configs #1 (pure-MCTS CPU
+baseline), #2 (tiny net, single game), #4 (Pente full net), and #5 (one
+full training-loop iteration: parallel self-play -> buffer -> train ->
+gating arena), printing one JSON line per config and writing the results
+into ``BASELINE.json``'s ``published`` map.
 
 Baseline derivation (see BASELINE.md): the reference's balanced production
 run reports 20-40 min per 70-game self-play iteration at 1600 sims on a
@@ -17,6 +23,8 @@ measured moves/s divided by that 8.6 moves/s.
 
 from __future__ import annotations
 
+import dataclasses
+import functools
 import json
 import time
 
@@ -32,16 +40,17 @@ def run_bench(batch_games: int = 64, n_simulations: int = 400,
               channels: int = 128, warmup_moves: int = 8,
               measure_moves: int = 48, seed: int = 0,
               dtype: str = "float32", fused: bool = False,
-              backend: str = "xla") -> dict:
+              backend: str = "pallas", game: str = "gomoku",
+              vs_baseline: float = BASELINE_MOVES_PER_SEC) -> dict:
+    """Lockstep self-play throughput (configs #2/#3/#4 shapes)."""
     from alphazero_gomoku_tpu.games import make_env
     from alphazero_gomoku_tpu.models import AZModel
     from alphazero_gomoku_tpu.search import MCTSConfig
     from alphazero_gomoku_tpu.selfplay import SelfPlayConfig
     from alphazero_gomoku_tpu.selfplay.loop import bundle_of, make_eval_fn
     from alphazero_gomoku_tpu.selfplay.runner import play_games
-    import dataclasses
 
-    env = make_env("gomoku", board_size)
+    env = make_env(game, board_size)
     model = AZModel(board_size=board_size, n_res_blocks=n_res_blocks,
                     channels=channels, seed=seed,
                     compute_dtype=jnp.dtype(dtype))
@@ -61,9 +70,9 @@ def run_bench(batch_games: int = 64, n_simulations: int = 400,
                         max_depth=56, backend=backend),
     )
 
-    import functools
     del warmup_moves  # single compiled program; warmup = first invocation
     if fused:
+        from alphazero_gomoku_tpu.ops.fused_net import fold_bn
         bundle = fold_bn(model.cfg, model.params, model.batch_stats)
     else:
         bundle = bundle_of(model)
@@ -78,28 +87,139 @@ def run_bench(batch_games: int = 64, n_simulations: int = 400,
 
     t0 = time.time()
     traj = meas(bundle, jax.random.PRNGKey(3))
-    moves = int(np.asarray(jnp.sum(traj.moves_played)))
+    moves = int(np.asarray(jnp.sum(jnp.minimum(traj.moves_played,
+                                               measure_moves))))
     dt = time.time() - t0
 
     value = moves / dt
     return {
         "metric": (
             f"self-play moves/sec @ {n_simulations} sims "
-            f"(Gomoku {board_size}x{board_size}, {n_res_blocks}x{channels} "
+            f"({game} {board_size}x{board_size}, {n_res_blocks}x{channels} "
             f"net, batch {batch_games}, 1 chip)"
         ),
         "value": round(value, 2),
         "unit": "moves/sec",
-        "vs_baseline": round(value / BASELINE_MOVES_PER_SEC, 2),
+        "vs_baseline": (round(value / vs_baseline, 2)
+                        if vs_baseline else None),
         "detail": {
             "moves": moves,
             "seconds": round(dt, 3),
             "leaf_evals_per_sec": round(value * n_simulations, 0),
+            "backend": backend,
+            "fused": fused,
             "device": str(jax.devices()[0]),
         },
     }
 
 
+def bench_pure_mcts(n_playout: int = 200, n_moves: int = 6,
+                    board_size: int = 15) -> dict:
+    """Config #1: the network-free heuristic MCTS baseline (host CPU)."""
+    from alphazero_gomoku_tpu.games.host import make_host_game
+    from alphazero_gomoku_tpu.search.pure_mcts import MCTSGomoku
+
+    game = make_host_game("gomoku", board_size)
+    bot = MCTSGomoku(n_playout=n_playout)
+    bot.get_move(game)  # warm (numpy allocs, caches)
+    t0 = time.time()
+    for _ in range(n_moves):
+        mv = bot.get_move(game)
+        game.do_move(mv)
+    dt = time.time() - t0
+    value = n_moves / dt
+    return {
+        "metric": (f"pure-MCTS self-play moves/sec @ {n_playout} playouts "
+                   f"(Gomoku {board_size}x{board_size}, host CPU)"),
+        "value": round(value, 2),
+        "unit": "moves/sec",
+        "vs_baseline": None,
+        "detail": {"moves": n_moves, "seconds": round(dt, 3)},
+    }
+
+
+def bench_training_iteration(games: int = 128, n_simulations: int = 400,
+                             eval_games: int = 16) -> dict:
+    """Config #5: one full training-loop iteration on-device.
+
+    Parallel lockstep self-play -> replay buffer -> one training epoch ->
+    gating arena.  Runs two iterations and reports the second (the first
+    carries all compilation).
+    """
+    import tempfile
+
+    from alphazero_gomoku_tpu.selfplay import train_alphazero
+
+    with tempfile.TemporaryDirectory() as td:
+        hist = train_alphazero(
+            game_name="gomoku", board_size=15,
+            num_iterations=2, games_per_iteration=games,
+            n_simulations=n_simulations, buffer_size=200000,
+            batch_size=128, epochs_per_iter=1, temp_threshold=10,
+            eval_games=eval_games, eval_mcts_simulations=n_simulations,
+            n_res_blocks=6, channels=128,
+            mcts_backend="pallas", mcts_max_depth=56,
+            model_dir=td, seed=7, verbose=False,
+        )
+    it = hist[1]
+    total = (it["selfplay_seconds"] + it["train_seconds"]
+             + it["eval_seconds"])
+    return {
+        "metric": (f"training iteration seconds ({games} parallel games @ "
+                   f"{n_simulations} sims -> buffer -> train -> "
+                   f"{eval_games}-game gating arena, 6x128 net)"),
+        "value": round(total, 2),
+        "unit": "seconds/iteration",
+        "vs_baseline": None,
+        "detail": {
+            "selfplay_seconds": round(it["selfplay_seconds"], 2),
+            "train_seconds": round(it["train_seconds"], 2),
+            "eval_seconds": round(it["eval_seconds"], 2),
+            "selfplay_moves": it["moves"],
+            "buffer_size": it["buffer_size"],
+            "devices": len(jax.devices()),
+        },
+    }
+
+
+def run_all() -> dict:
+    """All five BASELINE.json configs; returns {config_name: result}."""
+    results = {}
+    results["1_pure_mcts_cpu"] = bench_pure_mcts()
+    print(json.dumps(results["1_pure_mcts_cpu"]), flush=True)
+    results["2_tiny_net_single_game"] = run_bench(
+        batch_games=1, n_simulations=100, n_res_blocks=2, channels=64,
+        measure_moves=24, vs_baseline=None)
+    print(json.dumps(results["2_tiny_net_single_game"]), flush=True)
+    results["3_full_net_batched"] = run_bench(batch_games=128,
+                                              measure_moves=24)
+    print(json.dumps(results["3_full_net_batched"]), flush=True)
+    results["4_pente_full_net"] = run_bench(game="pente", batch_games=64,
+                                            measure_moves=24,
+                                            vs_baseline=None)
+    print(json.dumps(results["4_pente_full_net"]), flush=True)
+    results["5_training_loop"] = bench_training_iteration()
+    print(json.dumps(results["5_training_loop"]), flush=True)
+
+    try:  # publish into BASELINE.json
+        import datetime
+        with open("BASELINE.json") as f:
+            base = json.load(f)
+        base["published"] = {
+            "date": datetime.date.today().isoformat(),
+            "device": str(jax.devices()[0]),
+            "results": results,
+        }
+        with open("BASELINE.json", "w") as f:
+            json.dump(base, f, indent=2)
+    except OSError:
+        pass
+    return results
+
+
 if __name__ == "__main__":
-    result = run_bench()
-    print(json.dumps(result))
+    import sys
+    if "--all" in sys.argv:
+        run_all()
+    else:
+        print(json.dumps(run_bench()))
