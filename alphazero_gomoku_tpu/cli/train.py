@@ -57,7 +57,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "(diversity; not recorded as samples)")
     ap.add_argument("--use-fused-inference", action="store_true",
                     help="use the fused Pallas inference kernel for "
-                         "self-play/arena leaf evaluation")
+                         "self-play/arena leaf evaluation "
+                         "(alias for --inference fused)")
+    ap.add_argument("--inference", default="f32",
+                    choices=["f32", "bf16", "fused"],
+                    help="search-time network forward: exact f32 apply, "
+                         "folded-BN bfloat16 XLA, or the fused Pallas "
+                         "kernel (training steps always use exact f32)")
     ap.add_argument("--profile-trace-dir", default=None,
                     help="capture an XProf device trace of the 2nd "
                          "iteration into this directory")
@@ -103,6 +109,7 @@ def main(argv=None):
         value_target_mix=args.value_target_mix,
         opening_random_moves=args.opening_random_moves,
         use_fused_inference=args.use_fused_inference,
+        inference=args.inference,
         profile_trace_dir=args.profile_trace_dir,
         use_symmetries=not args.no_symmetries,
         selfplay_mode=args.selfplay_mode,

@@ -108,6 +108,106 @@ def fold_bn(cfg: NetConfig, params, batch_stats,
 
 
 # ----------------------------------------------------------------------
+# folded-BN bf16 XLA forward (the production inference path)
+# ----------------------------------------------------------------------
+def fold_bn_xla(cfg: NetConfig, params, batch_stats,
+                dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """Fold eval-mode BN into conv weights, keeping HWIO layout for XLA.
+
+    Unlike :func:`fold_bn` (which reshapes/pads weights for the Pallas
+    kernel), this produces plain ``lax.conv``-ready weights for
+    :func:`folded_xla_apply`.  Biases and head FC weights stay float32;
+    conv/FC matmul inputs are stored in ``dtype`` (bfloat16 by default).
+    """
+    f32 = jnp.float32
+    stem_w, stem_b = _fold(params["stem"]["w"], params["stem_bn"],
+                           batch_stats["stem_bn"])
+    blocks = []
+    for blk, bs in zip(params["blocks"], batch_stats["blocks"]):
+        w1, b1 = _fold(blk["conv1"]["w"], blk["bn1"], bs["bn1"])
+        w2, b2 = _fold(blk["conv2"]["w"], blk["bn2"], bs["bn2"])
+        blocks.append({"w1": w1.astype(dtype), "b1": b1.astype(f32),
+                       "w2": w2.astype(dtype), "b2": b2.astype(f32)})
+    pol_w, pol_b = _fold(params["policy_conv"]["w"], params["policy_bn"],
+                         batch_stats["policy_bn"])
+    val_w, val_b = _fold(params["value_conv"]["w"], params["value_bn"],
+                         batch_stats["value_bn"])
+    return {
+        "stem_w": stem_w.astype(dtype), "stem_b": stem_b.astype(f32),
+        "blocks": blocks,
+        "pol_w": pol_w.astype(f32), "pol_b": pol_b.astype(f32),
+        "pol_fc_w": params["policy_fc"]["w"].astype(f32),
+        "pol_fc_b": params["policy_fc"]["b"].astype(f32),
+        "val_w": val_w.astype(f32), "val_b": val_b.astype(f32),
+        "val_fc1_w": params["value_fc1"]["w"].astype(f32),
+        "val_fc1_b": params["value_fc1"]["b"].astype(f32),
+        "val_fc2_w": params["value_fc2"]["w"].astype(f32),
+        "val_fc2_b": params["value_fc2"]["b"].astype(f32),
+    }
+
+
+def folded_xla_apply(cfg: NetConfig, folded, obs) -> Tuple[jax.Array, jax.Array]:
+    """Eval-mode forward with BN folded away and bfloat16 activations.
+
+    The training-path forward (``models/resnet.py:apply``) keeps every
+    inter-layer activation in float32 (BatchNorm math) so even with a bf16
+    ``compute_dtype`` the HBM traffic — which bounds the network at these
+    shapes (DECISIONS.md round-2 notes) — never shrinks.  Here each layer is
+    ``conv(bf16) + bias + relu`` with bf16 tensors between layers: half the
+    bandwidth and no BN elementwise passes.  MXU accumulation stays f32; the
+    heads (<1% of FLOPs) and final softmax/tanh run in f32.
+
+    Inference-only by construction (BN is folded at its running statistics;
+    use the exact ``apply`` for training).  Reference analogue: eval-mode
+    ``predict`` (``/root/reference/network.py:168-183``).
+    """
+    bf = folded["stem_w"].dtype  # the storage dtype chosen at fold time
+    f32 = jnp.float32
+
+    def conv(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=f32,
+        )
+
+    h = jax.nn.relu(conv(obs.astype(bf), folded["stem_w"])
+                    + folded["stem_b"]).astype(bf)
+    for blk in folded["blocks"]:
+        r = h
+        h = jax.nn.relu(conv(h, blk["w1"]) + blk["b1"]).astype(bf)
+        h = (conv(h, blk["w2"]) + blk["b2"]).astype(bf)
+        h = jax.nn.relu((h + r).astype(f32)).astype(bf)
+
+    b = h.shape[0]
+    hw = cfg.board_size * cfg.board_size
+    rows = h.astype(f32).reshape(b * hw, cfg.channels)
+    p = jax.nn.relu(jnp.dot(rows, folded["pol_w"].reshape(cfg.channels, 2))
+                    + folded["pol_b"])
+    logits = jnp.dot(p.reshape(b, 2 * hw), folded["pol_fc_w"]) + folded["pol_fc_b"]
+    v = jax.nn.relu(jnp.dot(rows, folded["val_w"].reshape(cfg.channels, 1))
+                    + folded["val_b"])
+    v = jax.nn.relu(jnp.dot(v.reshape(b, hw), folded["val_fc1_w"])
+                    + folded["val_fc1_b"])
+    v = jnp.dot(v, folded["val_fc2_w"]) + folded["val_fc2_b"]
+    return logits, jnp.tanh(v)
+
+
+def make_bf16_eval_fn(cfg: NetConfig):
+    """MCTS eval_fn backed by the folded-BN bf16 XLA forward.
+
+    The bundle is the folded pytree from :func:`fold_bn_xla`; fold once per
+    parameter update, not per call.
+    """
+
+    def eval_fn(folded, obs):
+        logits, value = folded_xla_apply(cfg, folded, obs)
+        return jax.nn.softmax(logits, axis=-1), value
+
+    return eval_fn
+
+
+# ----------------------------------------------------------------------
 # reference (plain jnp) folded forward — oracle for the kernel
 # ----------------------------------------------------------------------
 def folded_apply_reference(cfg: NetConfig, folded, obs) -> Tuple[jax.Array, jax.Array]:

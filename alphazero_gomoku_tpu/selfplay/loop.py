@@ -150,6 +150,12 @@ def train_alphazero(
     # single-device execution
     mesh="auto",
     use_fused_inference: bool = False,
+    # search-time network forward: "f32" = the exact eval-mode apply();
+    # "bf16" = folded-BN bfloat16 XLA forward (ops/fused_net.py:
+    # folded_xla_apply — half the HBM traffic on the bandwidth-bound net);
+    # "fused" = the whole-tower Pallas kernel.  Training steps always use
+    # the exact f32 apply().
+    inference: str = "f32",
     selfplay_mode: str = "lockstep",   # or "continuous" (auto-reset lanes)
     selfplay_steps: int = 0,           # continuous mode plies (0 = board^2)
 ):
@@ -204,11 +210,16 @@ def train_alphazero(
         log("[Buffer] starting with an empty buffer")
         buffer = ReplayBuffer(capacity=buffer_size, board_size=board_size)
 
-    if use_fused_inference:
-        from alphazero_gomoku_tpu.ops.fused_net import (
-            fold_bn, make_fused_eval_fn,
-        )
-        eval_fn = make_fused_eval_fn(model_candidate.cfg)
+    if use_fused_inference and inference == "f32":
+        inference = "fused"  # back-compat alias for the old boolean flag
+    if inference in ("bf16", "fused"):
+        from alphazero_gomoku_tpu.ops import fused_net
+        if inference == "fused":
+            eval_fn = fused_net.make_fused_eval_fn(model_candidate.cfg)
+            fold = fused_net.fold_bn
+        else:
+            eval_fn = fused_net.make_bf16_eval_fn(model_candidate.cfg)
+            fold = fused_net.fold_bn_xla
         # cache holds a live reference to the keyed params object so the
         # identity comparison ('is') can never alias a recycled address
         _fold_cache: dict = {}
@@ -216,14 +227,16 @@ def train_alphazero(
         def search_bundle(model):
             cached = _fold_cache.get(model)
             if cached is None or cached[0] is not model.params:
-                cached = (model.params, fold_bn(
+                cached = (model.params, fold(
                     model.cfg, model.params, model.batch_stats
                 ))
                 _fold_cache[model] = cached
             return cached[1]
-    else:
+    elif inference == "f32":
         eval_fn = make_eval_fn(model_candidate.cfg)
         search_bundle = bundle_of
+    else:
+        raise ValueError(f"unknown inference mode: {inference!r}")
     sp_cfg = SelfPlayConfig(
         batch_games=games_per_iteration,
         temp_threshold=temp_threshold,

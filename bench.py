@@ -39,10 +39,15 @@ def run_bench(batch_games: int = 64, n_simulations: int = 400,
               board_size: int = 15, n_res_blocks: int = 6,
               channels: int = 128, warmup_moves: int = 8,
               measure_moves: int = 48, seed: int = 0,
-              dtype: str = "float32", fused: bool = False,
+              dtype: str = "float32", infer: str = "bf16",
               backend: str = "pallas", game: str = "gomoku",
               vs_baseline: float = BASELINE_MOVES_PER_SEC) -> dict:
-    """Lockstep self-play throughput (configs #2/#3/#4 shapes)."""
+    """Lockstep self-play throughput (configs #2/#3/#4 shapes).
+
+    ``infer`` picks the search-time forward: "f32" exact apply, "bf16"
+    folded-BN bfloat16 XLA (default — the production inference path), or
+    "fused" whole-tower Pallas kernel.
+    """
     from alphazero_gomoku_tpu.games import make_env
     from alphazero_gomoku_tpu.models import AZModel
     from alphazero_gomoku_tpu.search import MCTSConfig
@@ -54,11 +59,12 @@ def run_bench(batch_games: int = 64, n_simulations: int = 400,
     model = AZModel(board_size=board_size, n_res_blocks=n_res_blocks,
                     channels=channels, seed=seed,
                     compute_dtype=jnp.dtype(dtype))
-    if fused:
-        from alphazero_gomoku_tpu.ops.fused_net import (
-            fold_bn, make_fused_eval_fn,
-        )
+    if infer == "fused":
+        from alphazero_gomoku_tpu.ops.fused_net import make_fused_eval_fn
         eval_fn = make_fused_eval_fn(model.cfg)
+    elif infer == "bf16":
+        from alphazero_gomoku_tpu.ops.fused_net import make_bf16_eval_fn
+        eval_fn = make_bf16_eval_fn(model.cfg)
     else:
         eval_fn = make_eval_fn(model.cfg)
     cfg = SelfPlayConfig(
@@ -71,9 +77,12 @@ def run_bench(batch_games: int = 64, n_simulations: int = 400,
     )
 
     del warmup_moves  # single compiled program; warmup = first invocation
-    if fused:
+    if infer == "fused":
         from alphazero_gomoku_tpu.ops.fused_net import fold_bn
         bundle = fold_bn(model.cfg, model.params, model.batch_stats)
+    elif infer == "bf16":
+        from alphazero_gomoku_tpu.ops.fused_net import fold_bn_xla
+        bundle = fold_bn_xla(model.cfg, model.params, model.batch_stats)
     else:
         bundle = bundle_of(model)
 
@@ -107,7 +116,7 @@ def run_bench(batch_games: int = 64, n_simulations: int = 400,
             "seconds": round(dt, 3),
             "leaf_evals_per_sec": round(value * n_simulations, 0),
             "backend": backend,
-            "fused": fused,
+            "inference": infer,
             "device": str(jax.devices()[0]),
         },
     }
@@ -218,8 +227,25 @@ def run_all() -> dict:
 
 
 if __name__ == "__main__":
-    import sys
-    if "--all" in sys.argv:
+    import argparse
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--all", action="store_true",
+                    help="run all five BASELINE.json configs")
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--sims", type=int, default=400)
+    ap.add_argument("--infer", default="bf16",
+                    choices=["f32", "bf16", "fused"])
+    ap.add_argument("--backend", default="pallas", choices=["xla", "pallas"])
+    ap.add_argument("--blocks", type=int, default=6)
+    ap.add_argument("--channels", type=int, default=128)
+    ap.add_argument("--game", default="gomoku", choices=["gomoku", "pente"])
+    ap.add_argument("--moves", type=int, default=48)
+    a = ap.parse_args()
+    if a.all:
         run_all()
     else:
-        print(json.dumps(run_bench()))
+        print(json.dumps(run_bench(
+            batch_games=a.batch, n_simulations=a.sims, infer=a.infer,
+            backend=a.backend, n_res_blocks=a.blocks, channels=a.channels,
+            game=a.game, measure_moves=a.moves,
+        )))

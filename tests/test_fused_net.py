@@ -87,6 +87,54 @@ def test_fused_kernel_bf16_close_to_f32_net():
     assert agree >= 0.75
 
 
+def test_fold_bn_xla_f32_matches_eval_forward():
+    # with f32 storage the folded XLA path must match the exact eval apply
+    cfg, params, stats = make_net()
+    obs = rand_obs(cfg)
+    from alphazero_gomoku_tpu.ops.fused_net import fold_bn_xla, folded_xla_apply
+    (logits_ref, value_ref), _ = apply(cfg, params, stats, obs, train=False)
+    folded = fold_bn_xla(cfg, params, stats, dtype=jnp.float32)
+    logits, value = folded_xla_apply(cfg, folded, obs)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(logits_ref),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(value), np.asarray(value_ref),
+                               atol=2e-5)
+
+
+def test_folded_xla_bf16_close_to_f32_net():
+    cfg, params, stats = make_net()
+    obs = rand_obs(cfg, b=16)
+    from alphazero_gomoku_tpu.ops.fused_net import (
+        fold_bn_xla, folded_xla_apply, make_bf16_eval_fn,
+    )
+    (logits_ref, value_ref), _ = apply(cfg, params, stats, obs, train=False)
+    folded = fold_bn_xla(cfg, params, stats)  # bf16 default
+    logits, value = folded_xla_apply(cfg, folded, obs)
+    np.testing.assert_allclose(np.asarray(value), np.asarray(value_ref),
+                               atol=0.05)
+    agree = (np.argmax(np.asarray(logits), -1)
+             == np.argmax(np.asarray(logits_ref), -1)).mean()
+    assert agree >= 0.75
+    # eval_fn wrapper returns normalized probs and the value column
+    probs, v = make_bf16_eval_fn(cfg)(folded, obs)
+    np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0, atol=1e-5)
+    assert probs.dtype == jnp.float32 and v.dtype == jnp.float32
+
+
+def test_trainer_accepts_bf16_inference(tmp_path):
+    # one tiny end-to-end iteration through the bf16 search forward
+    from alphazero_gomoku_tpu.selfplay import train_alphazero
+    hist = train_alphazero(
+        game_name="gomoku", board_size=7, num_iterations=1,
+        games_per_iteration=2, n_simulations=8, buffer_size=512,
+        batch_size=16, epochs_per_iter=1, eval_games=2,
+        eval_mcts_simulations=8, n_res_blocks=1, channels=16,
+        model_dir=str(tmp_path), inference="bf16", mesh=None,
+        verbose=False,
+    )
+    assert len(hist) == 1 and hist[0]["moves"] > 0
+
+
 def test_fused_predict_batch_divisibility():
     cfg, params, stats = make_net(board=9, blocks=1, channels=32)
     folded = fold_bn(cfg, params, stats)

@@ -87,3 +87,22 @@ def test_sharded_arena_eval_fn_compatible():
     pis = np.asarray(traj.pis)
     act = np.asarray(traj.active)
     np.testing.assert_allclose(pis[act].sum(-1), 1.0, atol=1e-4)
+
+
+def test_sharded_selfplay_with_bf16_inference():
+    # the folded bf16 bundle replicates through shard_map like raw params
+    from alphazero_gomoku_tpu.ops.fused_net import fold_bn_xla, make_bf16_eval_fn
+
+    mesh = make_mesh()
+    env = GomokuEnv(SIZE)
+    model = AZModel(board_size=SIZE, n_res_blocks=1, channels=16, seed=0)
+    eval_fn = make_bf16_eval_fn(model.cfg)
+    folded = fold_bn_xla(model.cfg, model.params, model.batch_stats)
+    cfg = SelfPlayConfig(
+        batch_games=8, temp_threshold=4,
+        mcts=MCTSConfig(n_simulations=4, cpuct=1.0, add_noise=False),
+    )
+    fn = make_sharded_selfplay(env, cfg, eval_fn, mesh)
+    traj = fn(folded, jax.random.PRNGKey(1))
+    assert traj.winners.shape == (8,)
+    assert int(np.asarray(traj.moves_played).sum()) > 0
