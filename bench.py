@@ -39,14 +39,15 @@ def run_bench(batch_games: int = 64, n_simulations: int = 400,
               board_size: int = 15, n_res_blocks: int = 6,
               channels: int = 128, warmup_moves: int = 8,
               measure_moves: int = 48, seed: int = 0,
-              dtype: str = "float32", infer: str = "bf16",
+              dtype: str = "float32", infer: str = "f32",
               backend: str = "pallas", game: str = "gomoku",
               vs_baseline: float = BASELINE_MOVES_PER_SEC) -> dict:
     """Lockstep self-play throughput (configs #2/#3/#4 shapes).
 
-    ``infer`` picks the search-time forward: "f32" exact apply, "bf16"
-    folded-BN bfloat16 XLA (default — the production inference path), or
-    "fused" whole-tower Pallas kernel.
+    ``infer`` picks the search-time forward: "f32" exact apply (default —
+    measured fastest inside the full search program; see DECISIONS.md
+    round-3 notes), "bf16" folded-BN bfloat16 XLA, or "fused" whole-tower
+    Pallas kernel.
     """
     from alphazero_gomoku_tpu.games import make_env
     from alphazero_gomoku_tpu.models import AZModel
@@ -147,13 +148,16 @@ def bench_pure_mcts(n_playout: int = 200, n_moves: int = 6,
     }
 
 
-def bench_training_iteration(games: int = 128, n_simulations: int = 400,
+def bench_training_iteration(games: int = 64, n_simulations: int = 400,
                              eval_games: int = 16) -> dict:
     """Config #5: one full training-loop iteration on-device.
 
     Parallel lockstep self-play -> replay buffer -> one training epoch ->
     gating arena.  Runs two iterations and reports the second (the first
-    carries all compilation).
+    carries all compilation).  BASELINE.json's config #5 names 1024 games
+    over a v5e-8 (128/chip); on the single available chip this runs the
+    per-chip 64-game slice that is inside the verified-stable envelope for
+    FULL games (128 full games hard-fault the worker — repro/README.md).
     """
     import tempfile
 
@@ -233,7 +237,7 @@ if __name__ == "__main__":
                     help="run all five BASELINE.json configs")
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--sims", type=int, default=400)
-    ap.add_argument("--infer", default="bf16",
+    ap.add_argument("--infer", default="f32",
                     choices=["f32", "bf16", "fused"])
     ap.add_argument("--backend", default="pallas", choices=["xla", "pallas"])
     ap.add_argument("--blocks", type=int, default=6)
