@@ -39,6 +39,23 @@ def test_arena_seats_and_scoring():
     assert wins2 + draws2 <= 4
 
 
+def test_arena_self_match_is_seat_fair():
+    """X vs X over many games must come out near 50% — a seat or scoring
+    bias here silently corrupts the gate (candidates never/always promote),
+    the round-3 failure class investigated in TRAINING_GUIDE case 7a."""
+    env = GomokuEnv(SIZE)
+    m = AZModel(board_size=SIZE, n_res_blocks=1, channels=8, seed=3)
+    cfg = MCTSConfig(n_simulations=16, cpuct=1.0, add_noise=False)
+    eval_fn = make_eval_fn(m.cfg)
+    wins, rate, draws = evaluate_params(
+        env, cfg, eval_fn, bundle_of(m), bundle_of(m), 32,
+        jax.random.PRNGKey(7),
+    )
+    decided = 32 - draws
+    assert decided >= 8  # random openings at 16 sims must decide games
+    assert 0.25 <= wins / max(decided, 1) <= 0.75
+
+
 @pytest.mark.slow
 def test_train_loop_end_to_end(tmp_path):
     model_dir = str(tmp_path / "models")
