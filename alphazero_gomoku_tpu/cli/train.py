@@ -70,6 +70,17 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--no-symmetries", action="store_true")
     ap.add_argument("--selfplay-mode", default="lockstep",
                     choices=["lockstep", "continuous"])
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host: call jax.distributed.initialize "
+                         "before building the mesh (TPU pods auto-discover "
+                         "peers; see parallel/distributed.py)")
+    ap.add_argument("--coordinator-address", default=None,
+                    help="host:port of process 0 (non-TPU-pod multi-host)")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument("--pente-capture-planes", action="store_true",
+                    help="append 2 captured-pair observation planes (Pente "
+                         "only; trains a 5-input-channel net)")
     ap.add_argument("--selfplay-steps", type=int, default=0,
                     help="continuous-mode plies per iteration (0 = board^2)")
     return ap
@@ -77,6 +88,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.distributed or args.coordinator_address:
+        from alphazero_gomoku_tpu.parallel import initialize_distributed
+        initialize_distributed(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+            auto=args.distributed and not args.coordinator_address,
+        )
     train_alphazero(
         game_name=args.game,
         board_size=args.board_size,
@@ -114,6 +133,7 @@ def main(argv=None):
         use_symmetries=not args.no_symmetries,
         selfplay_mode=args.selfplay_mode,
         selfplay_steps=args.selfplay_steps,
+        pente_capture_planes=args.pente_capture_planes,
     )
     return 0
 

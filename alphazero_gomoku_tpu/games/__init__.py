@@ -20,13 +20,17 @@ from alphazero_gomoku_tpu.games.gomoku import GomokuEnv  # noqa: F401
 from alphazero_gomoku_tpu.games.pente import PenteEnv  # noqa: F401
 
 
-def make_env(name: str, size: int = 15):
-    """Return the functional env singleton for a game name."""
+def make_env(name: str, size: int = 15, capture_planes: bool = False):
+    """Return the functional env singleton for a game name.
+
+    ``capture_planes`` (Pente only) appends two captured-pair observation
+    planes; ignored for Gomoku.
+    """
     name = name.lower()
     if name == "gomoku":
         return GomokuEnv(size)
     if name == "pente":
-        return PenteEnv(size)
+        return PenteEnv(size, capture_planes=capture_planes)
     raise ValueError(f"unknown game: {name!r} (expected 'gomoku' or 'pente')")
 
 

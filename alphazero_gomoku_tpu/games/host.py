@@ -255,16 +255,19 @@ class Pente:
     def get_state(self) -> np.ndarray:
         return self.board.copy()
 
-    def get_encoded_state(self) -> np.ndarray:
+    def get_encoded_state(self, capture_planes: bool = False) -> np.ndarray:
+        """[3|5, size, size] NCHW planes; mirrors ``PenteEnv.encode``."""
         me = self.current_player
-        return np.stack(
-            [
-                (self.board == me).astype(np.float32),
-                (self.board == 3 - me).astype(np.float32),
-                np.ones((self.size, self.size), dtype=np.float32),
-            ],
-            axis=0,
-        )
+        planes = [
+            (self.board == me).astype(np.float32),
+            (self.board == 3 - me).astype(np.float32),
+            np.ones((self.size, self.size), dtype=np.float32),
+        ]
+        if capture_planes:
+            ones = np.ones((self.size, self.size), dtype=np.float32)
+            planes += [ones * (self.captures[me] / 5.0),
+                       ones * (self.captures[3 - me] / 5.0)]
+        return np.stack(planes, axis=0)
 
     # -- terminal checks ---------------------------------------------------
     def check_winner(self) -> int:

@@ -49,6 +49,13 @@ class PenteEnv:
 
     size: int = 15
     pairs_to_win: int = 5
+    # Opt-in observation extension: two constant planes carrying each
+    # side's captured-pair count (normalized by ``pairs_to_win``).  The
+    # default 3-plane encoding matches the reference and is capture-blind
+    # (`/root/reference/games/pente.py` exposes captures only through the
+    # win check); nets trained with one setting are incompatible with the
+    # other (``in_channels`` is recorded in checkpoint metadata).
+    capture_planes: bool = False
 
     # ------------------------------------------------------------------
     @property
@@ -57,7 +64,7 @@ class PenteEnv:
 
     @property
     def obs_channels(self) -> int:
-        return 3
+        return 5 if self.capture_planes else 3
 
     @property
     def name(self) -> str:
@@ -185,16 +192,25 @@ class PenteEnv:
 
     # ------------------------------------------------------------------
     def encode(self, state: PenteState) -> jax.Array:
-        """float32 [size, size, 3] NHWC observation (same planes as Gomoku)."""
+        """float32 [size, size, 3|5] NHWC observation.
+
+        Base planes match Gomoku; with ``capture_planes`` two constant
+        planes append the side-to-move's and opponent's captured-pair
+        counts scaled to [0, 1] by ``pairs_to_win``.
+        """
         me = state.to_move.astype(jnp.int8)
-        return jnp.stack(
-            [
-                (state.board == me).astype(jnp.float32),
-                (state.board == 3 - me).astype(jnp.float32),
-                jnp.ones((self.size, self.size), jnp.float32),
-            ],
-            axis=-1,
-        )
+        planes = [
+            (state.board == me).astype(jnp.float32),
+            (state.board == 3 - me).astype(jnp.float32),
+            jnp.ones((self.size, self.size), jnp.float32),
+        ]
+        if self.capture_planes:
+            caps = state.captures.astype(jnp.float32) / float(self.pairs_to_win)
+            mine = caps[state.to_move - 1]
+            theirs = caps[2 - state.to_move]
+            ones = jnp.ones((self.size, self.size), jnp.float32)
+            planes += [ones * mine, ones * theirs]
+        return jnp.stack(planes, axis=-1)
 
     # ------------------------------------------------------------------
     def terminal_value(self, state: PenteState) -> jax.Array:

@@ -83,6 +83,7 @@ class AZModel:
         weight_decay: float = DEFAULT_WEIGHT_DECAY,
         seed: int = 0,
         compute_dtype=jnp.float32,
+        in_channels: int = 3,
     ):
         self.board_size = board_size
         self.action_size = action_size or board_size * board_size
@@ -92,6 +93,7 @@ class AZModel:
             n_res_blocks=n_res_blocks,
             channels=channels,
             compute_dtype=compute_dtype,
+            in_channels=in_channels,
         )
         variables = init_variables(jax.random.PRNGKey(seed), self.cfg)
         self.params = variables["params"]
@@ -139,6 +141,7 @@ class AZModel:
             "action_size": self.action_size,
             "n_res_blocks": self.cfg.n_res_blocks,
             "channels": self.cfg.channels,
+            "in_channels": self.cfg.in_channels,
         }
         ckpt.save_checkpoint(path, tree, meta)
 
@@ -151,7 +154,8 @@ class AZModel:
         meta_only = ckpt.peek_metadata(path)
         for field, mine in (("board_size", self.board_size),
                             ("n_res_blocks", self.cfg.n_res_blocks),
-                            ("channels", self.cfg.channels)):
+                            ("channels", self.cfg.channels),
+                            ("in_channels", self.cfg.in_channels)):
             theirs = meta_only.get(field)
             if theirs is not None and theirs != mine:
                 raise ValueError(
@@ -173,6 +177,7 @@ class AZModel:
             board_size=meta.get("board_size", 15),
             n_res_blocks=meta.get("n_res_blocks", 3),
             channels=meta.get("channels", 64),
+            in_channels=meta.get("in_channels", 3),
         )
         kwargs.update(overrides)
         model = cls(**kwargs)

@@ -78,6 +78,7 @@ def make_sharded_selfplay(env, cfg: SelfPlayConfig, eval_fn, mesh: Mesh,
         active=P(None, axis),
         winners=P(axis),             # [B]
         moves_played=P(axis),
+        captures=P(None, axis),      # [T, B, 2]
     )
     # check_vma off: the per-shard MCTS while_loops mix replicated constants
     # into shard-varying carries, which the VMA checker rejects; there is no

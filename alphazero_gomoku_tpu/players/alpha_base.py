@@ -77,6 +77,10 @@ class AlphaZeroPlayer:
                   "playing with random weights")
             self.net = AZModel(board_size=board_size,
                                n_res_blocks=n_res_blocks, channels=channels)
+        if self.rules == "pente" and self.net.cfg.in_channels == 5:
+            # checkpoint was trained with the captured-pair planes opt-in;
+            # rebuild the env so encode() matches the net's input layout
+            self.env = make_env(self.rules, board_size, capture_planes=True)
 
         cfg = MCTSConfig(n_simulations=n_simulations, cpuct=c_puct,
                          add_noise=False)

@@ -402,11 +402,15 @@ def run_mcts_with_q(
     move — the same convention as the self-play outcome ``z``, making it
     usable as a soft value target (``value_target_mix`` in the trainer).
     """
-    if cfg.backend == "pallas":
+    # Mosaic requires >=8 sublanes per vector register; the packed-row
+    # kernels fail to lower below that, and the two backends are
+    # bit-identical (tests/test_tree_pallas.py), so tiny batches
+    # (interactive play, probes) silently take the XLA path.
+    if cfg.backend == "pallas" and root_states.done.shape[0] >= 8:
         from alphazero_gomoku_tpu.search.tree_pallas import run_mcts_packed
         return run_mcts_packed(env, cfg, eval_fn, net_params, root_states,
                                move_numbers, rng)
-    if cfg.backend != "xla":
+    if cfg.backend not in ("xla", "pallas"):
         raise ValueError(f"unknown MCTS backend: {cfg.backend!r}")
     batch = root_states.done.shape[0]
     a = env.num_actions

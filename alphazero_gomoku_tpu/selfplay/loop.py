@@ -158,6 +158,8 @@ def train_alphazero(
     inference: str = "f32",
     selfplay_mode: str = "lockstep",   # or "continuous" (auto-reset lanes)
     selfplay_steps: int = 0,           # continuous mode plies (0 = board^2)
+    pente_capture_planes: bool = False,  # +2 captured-pair obs planes
+                                         # (Pente only; net in_channels=5)
 ):
     """Run the training loop; returns a per-iteration history list."""
     del selfplay_num_workers, selfplay_device, selfplay_games_per_task
@@ -169,7 +171,8 @@ def train_alphazero(
             print(*args, flush=True)
 
     os.makedirs(model_dir, exist_ok=True)
-    env = make_env(game_name, board_size)
+    env = make_env(game_name, board_size,
+                   capture_planes=pente_capture_planes)
     action_size = env.num_actions
 
     if isinstance(mesh, str) and mesh == "auto":
@@ -191,6 +194,7 @@ def train_alphazero(
             board_size=board_size, action_size=action_size,
             n_res_blocks=n_res_blocks, channels=channels,
             lr=lr, weight_decay=weight_decay, seed=seed,
+            in_channels=env.obs_channels,
         )
 
     if pretrained_model_path and os.path.exists(pretrained_model_path):
@@ -206,9 +210,15 @@ def train_alphazero(
     buffer_path = os.path.join(model_dir, "replay_buffer_latest.npz")
     buffer = load_replay_buffer(buffer_path, capacity=buffer_size,
                                 board_size=board_size)
+    if buffer is not None and buffer.channels != env.obs_channels:
+        log(f"[Buffer] saved buffer has {buffer.channels} obs channels but "
+            f"this run encodes {env.obs_channels} (capture-planes toggled?); "
+            "starting fresh")
+        buffer = None
     if buffer is None:
         log("[Buffer] starting with an empty buffer")
-        buffer = ReplayBuffer(capacity=buffer_size, board_size=board_size)
+        buffer = ReplayBuffer(capacity=buffer_size, board_size=board_size,
+                              channels=env.obs_channels)
 
     if use_fused_inference and inference == "f32":
         inference = "fused"  # back-compat alias for the old boolean flag
@@ -317,6 +327,7 @@ def train_alphazero(
             states, pis, zs, winners = collect(
                 traj, use_symmetries=use_symmetries,
                 value_target_mix=value_target_mix,
+                capture_planes=pente_capture_planes,
             )
         buffer.add(states, pis, zs)
         if selfplay_mode == "continuous":

@@ -86,6 +86,8 @@ class Trajectories(NamedTuple):
     active: jax.Array    # bool [T, B] record valid (game not yet finished)
     winners: jax.Array   # int32 [B]
     moves_played: jax.Array  # int32 [B] number of moves each game lasted
+    captures: jax.Array = None  # int32 [T, B, 2] captured pairs BEFORE the
+                                # move (Pente; zeros for capture-free games)
 
 
 def sample_actions(pi: jax.Array, temp: jax.Array, legal: jax.Array,
@@ -132,6 +134,7 @@ def play_games(
         jnp.zeros((max_moves, batch, env.num_actions), jnp.float32),  # pis
         jnp.zeros((max_moves, batch), jnp.float32),               # root_qs
         jnp.zeros((max_moves, batch), jnp.bool_),                 # active
+        jnp.zeros((max_moves, batch, 2), jnp.int32),              # captures
     )
 
     def cond(carry):
@@ -160,7 +163,10 @@ def play_games(
             rand_actions = random_center_actions(
                 k_open, legal.astype(jnp.float32), center)
             actions = jnp.where(is_open, rand_actions, actions)
-        boards_b, players_b, pis_b, rootq_b, active_b = bufs
+        boards_b, players_b, pis_b, rootq_b, active_b, caps_b = bufs
+        step_caps = getattr(states, "captures", None)
+        if step_caps is None:
+            step_caps = jnp.zeros((batch, 2), jnp.int32)
         bufs = (
             boards_b.at[t].set(states.board),
             players_b.at[t].set(states.to_move),
@@ -170,11 +176,12 @@ def play_games(
             # search pi there would pair with a move the policy did not
             # choose, so the record is masked out
             active_b.at[t].set(active & ~is_open),
+            caps_b.at[t].set(step_caps),
         )
         states = jax.vmap(env.step_safe)(states, actions)
         return (states, rng, t + 1, bufs)
 
-    final_states, _, _, (boards, players, pis, root_qs, active) = (
+    final_states, _, _, (boards, players, pis, root_qs, active, captures) = (
         jax.lax.while_loop(cond, body, (states0, rng, jnp.int32(0), buffers0))
     )
     return Trajectories(
@@ -185,21 +192,41 @@ def play_games(
         active=active,
         winners=final_states.winner,
         moves_played=final_states.move_count,
+        captures=captures,
     )
 
 
-def encode_board_np(boards: np.ndarray, players: np.ndarray) -> np.ndarray:
-    """Encode raw boards to NHWC float planes (vectorized, host side)."""
+def encode_board_np(boards: np.ndarray, players: np.ndarray,
+                    captures: np.ndarray = None,
+                    pairs_to_win: int = 5) -> np.ndarray:
+    """Encode raw boards to NHWC float planes (vectorized, host side).
+
+    With ``captures`` ([N, 2] pairs for players 1/2), appends the two
+    normalized captured-pair planes (mirrors ``PenteEnv.encode`` with
+    ``capture_planes=True``).
+    """
     p = players.reshape(players.shape + (1, 1))
     plane_me = (boards == p).astype(np.float32)
     plane_opp = (boards == (3 - p)).astype(np.float32)
     ones = np.ones_like(plane_me)
-    return np.stack([plane_me, plane_opp, ones], axis=-1)
+    planes = [plane_me, plane_opp, ones]
+    if captures is not None:
+        caps = captures.astype(np.float32) / float(pairs_to_win)
+        # inactive trailing records carry player 0; clip for safe indexing
+        # (they are masked out by the caller before training)
+        pc = np.clip(players, 1, 2)
+        mine = np.take_along_axis(
+            caps, (pc - 1).reshape(-1, 1), axis=1)[:, 0]
+        theirs = np.take_along_axis(
+            caps, (2 - pc).reshape(-1, 1), axis=1)[:, 0]
+        planes += [ones * mine.reshape(-1, 1, 1),
+                   ones * theirs.reshape(-1, 1, 1)]
+    return np.stack(planes, axis=-1)
 
 
 def collect_examples(
     traj: Trajectories, use_symmetries: bool = True,
-    value_target_mix: float = 0.0,
+    value_target_mix: float = 0.0, capture_planes: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, dict]:
     """Flatten trajectories into training samples (host side).
 
@@ -228,8 +255,12 @@ def collect_examples(
         z = (1.0 - value_target_mix) * z + value_target_mix * root_qs
 
     mask = active.reshape(-1)
+    caps = None
+    if capture_planes:
+        caps = np.asarray(traj.captures).reshape(-1, 2)
     states = encode_board_np(
-        boards.reshape(-1, *boards.shape[2:]), players.reshape(-1)
+        boards.reshape(-1, *boards.shape[2:]), players.reshape(-1),
+        captures=caps,
     )[mask]
     flat_pis = pis.reshape(-1, pis.shape[-1])[mask].astype(np.float32)
     flat_z = z.reshape(-1)[mask]
@@ -266,6 +297,8 @@ class ContinuousRecords(NamedTuple):
     recorded: jax.Array  # bool [T, B] ply is a policy sample (not a random opening)
     ended: jax.Array     # bool [T, B] game finished (or hit cap) on this ply
     winners: jax.Array   # int32 [T, B] winner where ended (0 = draw/cap)
+    captures: jax.Array = None  # int32 [T, B, 2] captured pairs BEFORE the
+                                # move (Pente; zeros otherwise)
 
 
 def play_games_continuous(
@@ -308,6 +341,9 @@ def play_games_continuous(
 
         record_board = states.board
         record_player = states.to_move
+        record_caps = getattr(states, "captures", None)
+        if record_caps is None:
+            record_caps = jnp.zeros((batch, 2), jnp.int32)
 
         states = jax.vmap(env.step)(states, actions)
         capped = states.move_count >= max_moves
@@ -322,20 +358,22 @@ def play_games_continuous(
             fresh, states,
         )
         return (states, rng), (record_board, record_player, pi, root_q,
-                               ~is_open, ended, winners)
+                               ~is_open, ended, winners, record_caps)
 
-    (_, _), (boards, players, pis, root_qs, recorded, ended, winners) = (
+    (_, _), (boards, players, pis, root_qs, recorded, ended, winners,
+             captures) = (
         jax.lax.scan(one_ply, (env.init_batch(batch), rng), None,
                      length=total_steps)
     )
     return ContinuousRecords(boards=boards, players=players, pis=pis,
                              root_qs=root_qs, recorded=recorded,
-                             ended=ended, winners=winners)
+                             ended=ended, winners=winners,
+                             captures=captures)
 
 
 def collect_examples_continuous(
     rec: ContinuousRecords, use_symmetries: bool = True,
-    value_target_mix: float = 0.0,
+    value_target_mix: float = 0.0, capture_planes: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, dict]:
     """Assign z per record from its game segment's outcome (host side).
 
@@ -369,8 +407,12 @@ def collect_examples_continuous(
         z = (1.0 - value_target_mix) * z + value_target_mix * root_qs
 
     mask = (has_end & np.asarray(rec.recorded)).reshape(-1)
+    caps = None
+    if capture_planes:
+        caps = np.asarray(rec.captures).reshape(-1, 2)
     states = encode_board_np(
-        boards.reshape(-1, *boards.shape[2:]), players.reshape(-1)
+        boards.reshape(-1, *boards.shape[2:]), players.reshape(-1),
+        captures=caps,
     )[mask]
     flat_pis = pis.reshape(-1, pis.shape[-1])[mask].astype(np.float32)
     flat_z = z.reshape(-1)[mask]

@@ -126,7 +126,7 @@ def run_bench(batch_games: int = 64, n_simulations: int = 400,
 def bench_pure_mcts(n_playout: int = 200, n_moves: int = 6,
                     board_size: int = 15) -> dict:
     """Config #1: the network-free heuristic MCTS baseline (host CPU)."""
-    from alphazero_gomoku_tpu.games.host import make_host_game
+    from alphazero_gomoku_tpu.games import make_host_game
     from alphazero_gomoku_tpu.search.pure_mcts import MCTSGomoku
 
     game = make_host_game("gomoku", board_size)

@@ -106,3 +106,13 @@ def test_sharded_selfplay_with_bf16_inference():
     traj = fn(folded, jax.random.PRNGKey(1))
     assert traj.winners.shape == (8,)
     assert int(np.asarray(traj.moves_played).sum()) > 0
+
+
+def test_initialize_distributed_single_process_noop():
+    """Single-process: no args must be a no-op returning False (never hang
+    waiting for a coordinator); is_primary() is True."""
+    from alphazero_gomoku_tpu.parallel import (
+        initialize_distributed, is_primary,
+    )
+    assert initialize_distributed() is False
+    assert is_primary() is True
