@@ -171,7 +171,17 @@ class AZModel:
     # -- helpers ---------------------------------------------------------
     @classmethod
     def from_checkpoint(cls, path: str, **overrides) -> "AZModel":
-        """Construct a model sized from the checkpoint's own metadata."""
+        """Construct a model sized from the checkpoint's own metadata.
+
+        Reference torch snapshots (``.pt``/``.pth``) are detected and
+        imported one-way (``models/torch_import.py``); native checkpoints
+        load via their AZTPU1 metadata header.
+        """
+        from alphazero_gomoku_tpu.models.torch_import import (
+            _is_torch_file, import_torch_checkpoint,
+        )
+        if _is_torch_file(path):
+            return import_torch_checkpoint(path)
         meta = ckpt.peek_metadata(path)
         kwargs = dict(
             board_size=meta.get("board_size", 15),
