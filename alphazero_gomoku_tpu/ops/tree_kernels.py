@@ -245,7 +245,7 @@ def select_walk(packed: jax.Array, layout: PackedLayout, cpuct: float,
 # ----------------------------------------------------------------------
 def _backup_kernel(layout: PackedLayout,
                    packed_in, pnodes_ref, pacts_ref, plen_ref, values_ref,
-                   expanding_ref, slot_ref,
+                   expanding_ref, priors_ref, done_ref, slot_ref,
                    packed_out, rows_vmem, hopnodes_vmem, sems):
     a = layout.num_actions
     s = layout.seg
@@ -258,6 +258,68 @@ def _backup_kernel(layout: PackedLayout,
     expanding = expanding_ref[:] == 1
     slot = slot_ref[0, 0]
     max_len = jnp.max(plen)
+
+    # ---- compose the fresh slot row in VMEM ---------------------------
+    # Writing it here (instead of an XLA dynamic-update-slice in the scan
+    # body) keeps the packed tree untouched by any XLA op between the
+    # custom-calls: XLA's layout assignment otherwise puts the row
+    # compose/update cluster in a {2,0,1} (node-major) layout and inserts
+    # a full-tree relayout copy PER SIMULATION — measured 0.37 ms/sim at
+    # 64x408x1152, >30% of the whole simulation (round-3 device trace).
+    # The per-move init already pre-sets children=-1 and zero stats for
+    # every node, so only the priors segment and the done flag are
+    # written.  Orphan (non-expanding) lanes get the row too, matching
+    # the XLA glue's unconditional write — nothing ever links to them.
+    sg = (slot // GROUP) * GROUP
+
+    def cstart(k, _):
+        pltpu.make_async_copy(
+            packed_out.at[k, pl.ds(sg, GROUP), :], rows_vmem.at[k],
+            sems.at[k],
+        ).start()
+        return 0
+    jax.lax.fori_loop(0, b, cstart, 0)
+
+    def cwait(k, _):
+        pltpu.make_async_copy(
+            packed_out.at[k, pl.ds(sg, GROUP), :], rows_vmem.at[k],
+            sems.at[k],
+        ).wait()
+        return 0
+    jax.lax.fori_loop(0, b, cwait, 0)
+
+    groups0 = rows_vmem[:]                                   # [B, GROUP, R]
+    sub_f = (iota_g == slot % GROUP).astype(jnp.float32)     # [B, GROUP]
+    upd0 = sub_f[:, :, None]
+    pri = priors_ref[:]                                      # [B, A]
+    dn = done_ref[:]                                         # [B, 1]
+    rows_vmem[:, :, 2 * s:2 * s + a] = (
+        groups0[:, :, 2 * s:2 * s + a] * (1.0 - upd0)
+        + upd0 * pri[:, None, :]
+    )
+    # the done flag lives at column 4*s; write its full 128-lane segment
+    # (broadcast) — width-1 minor-dim slices of a 3-D VMEM ref are a
+    # Mosaic trouble class (cf. the round-2 sublane notes)
+    rows_vmem[:, :, 4 * s:] = (
+        groups0[:, :, 4 * s:] * (1.0 - upd0)
+        + upd0 * dn[:, None, :]
+    )
+
+    def cwb_start(k, _):
+        pltpu.make_async_copy(
+            rows_vmem.at[k], packed_out.at[k, pl.ds(sg, GROUP), :],
+            sems.at[k],
+        ).start()
+        return 0
+    jax.lax.fori_loop(0, b, cwb_start, 0)
+
+    def cwb_wait(k, _):
+        pltpu.make_async_copy(
+            rows_vmem.at[k], packed_out.at[k, pl.ds(sg, GROUP), :],
+            sems.at[k],
+        ).wait()
+        return 0
+    jax.lax.fori_loop(0, b, cwb_wait, 0)
 
     def cond(carry):
         return carry < max_len
@@ -349,14 +411,17 @@ def backup_paths(packed: jax.Array, path_nodes: jax.Array,
                  path_actions: jax.Array, path_len: jax.Array,
                  values: jax.Array, expanding: jax.Array, slot: jax.Array,
                  layout: PackedLayout,
+                 signed_priors: jax.Array, done: jax.Array,
                  interpret: bool = False) -> jax.Array:
-    """Apply one simulation's backup along each lane's recorded path.
+    """Write the fresh slot row, then apply one simulation's backup.
 
     In-place on ``packed`` (aliased); returns the updated array.  ``slot``
     (i32 scalar, traced) is the node index expanded this simulation
-    (lane-uniform by construction); lanes with ``expanding[b] == 0``
+    (lane-uniform by construction); its row receives ``signed_priors``
+    ([B, A]) and the ``done`` flag ([B]) — stats stay at the pre-move
+    init (zero N/W, children -1).  Lanes with ``expanding[b] == 0``
     stopped on a terminal or depth-capped node and only receive N/W
-    updates.
+    updates along their path.
     """
     b = packed.shape[0]
     kernel = functools.partial(_backup_kernel, layout)
@@ -369,6 +434,8 @@ def backup_paths(packed: jax.Array, path_nodes: jax.Array,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # path len
             pl.BlockSpec(memory_space=pltpu.VMEM),   # values
             pl.BlockSpec(memory_space=pltpu.VMEM),   # expanding
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # slot-row priors
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # slot-row done flag
             pl.BlockSpec(memory_space=pltpu.SMEM),   # slot
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
@@ -385,4 +452,6 @@ def backup_paths(packed: jax.Array, path_nodes: jax.Array,
       path_len.reshape(b, 1).astype(jnp.int32),
       values.reshape(b, 1).astype(jnp.float32),
       expanding.reshape(b, 1).astype(jnp.int32),
+      signed_priors.astype(jnp.float32),
+      done.reshape(b, 1).astype(jnp.float32),
       jnp.asarray(slot, jnp.int32).reshape(1, 1))

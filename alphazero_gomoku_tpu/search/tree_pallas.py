@@ -15,11 +15,15 @@ Per simulation (all inside one ``lax.scan`` step, no host round-trips):
   2. XLA: gather the leaf's game state (one row per lane), ``env.step`` the
      expansion edge, write the new state at the lane-uniform ``slot``
      (dense dynamic-update-slice), evaluate the network on the new leaf.
-  3. XLA: compose the fresh node's packed row (zero stats, signed priors,
-     unexpanded children, done flag) and write it at ``slot`` (dense).
-  4. ``backup_paths`` kernel: N/W updates along the recorded path with the
-     per-hop perspective flip; links ``slot`` into the parent's children
-     segment on the expansion edge.
+  3. ``backup_paths`` kernel: writes the fresh node's row (signed priors +
+     done flag — stats/children stay at the pre-move init) at ``slot``,
+     then applies N/W updates along the recorded path with the per-hop
+     perspective flip, linking ``slot`` into the parent's children segment
+     on the expansion edge.  Composing the row in-kernel keeps every
+     in-scan touch of the packed tree inside the custom-calls — an XLA
+     row write forces a node-major layout cluster and a full-tree
+     relayout copy per simulation (round-3 device trace: 0.37 ms/sim,
+     >30% of simulation time).
 
 Reference semantics: ``/root/reference/mcts/new_mcts_alpha.py:102-151``
 (same citations as ``tree.py``; see that module's header for the conscious
@@ -141,16 +145,15 @@ def run_mcts_packed(
         ).astype(jnp.float32)
 
         legal = jax.vmap(env.legal_mask)(write_state).astype(probs.dtype)
-        slot_rows = compose_rows(
-            jax.vmap(_signed_priors)(probs, legal), write_state.done
-        )
-        packed = jax.vmap(
-            lambda pb, rb: jax.lax.dynamic_update_index_in_dim(pb, rb, slot, 0)
-        )(packed, slot_rows)
-
+        # the fresh slot row (signed priors + done flag) is written INSIDE
+        # the backup kernel: any XLA update of `packed` in this scan body
+        # drags the whole tree into a node-major layout cluster and costs
+        # a full-tree relayout copy per simulation (see _backup_kernel)
         packed = backup_paths(
             packed, pnodes, pacts, plen, leaf_value,
-            expanding.astype(jnp.int32), slot, layout, interpret=interpret,
+            expanding.astype(jnp.int32), slot, layout,
+            signed_priors=jax.vmap(_signed_priors)(probs, legal),
+            done=write_state.done, interpret=interpret,
         )
         return (packed, states), None
 

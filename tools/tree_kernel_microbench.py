@@ -93,9 +93,13 @@ def main(argv=None):
             vals = jnp.full((b,), 0.25, jnp.float32)
             expanding = jnp.ones((b,), jnp.int32)
 
+            pri = jnp.zeros((b, layout.num_actions), jnp.float32)
+            dn = jnp.zeros((b,), jnp.float32)
+
             def bk_step(packed, _=None):
                 out = backup_paths(packed, pn, pa, plen, vals, expanding,
-                                   jnp.int32(d + 1), layout)
+                                   jnp.int32(d + 1), layout,
+                                   signed_priors=pri, done=dn)
                 return out
 
             run_bk = time_chained(bk_step, args.iters)
