@@ -35,11 +35,14 @@ class ReplayBuffer:
         self._size = 0
 
     # ------------------------------------------------------------------
-    def add(self, states: np.ndarray, pis: np.ndarray, zs: np.ndarray) -> None:
-        """Vectorized ring insert of N samples (newest overwrite oldest)."""
+    def add(self, states: np.ndarray, pis: np.ndarray, zs: np.ndarray
+            ) -> np.ndarray:
+        """Vectorized ring insert of N samples (newest overwrite oldest).
+
+        Returns the ring positions written (for device-mirror sync)."""
         n = len(zs)
         if n == 0:
-            return
+            return np.zeros((0,), np.int64)
         if n >= self.capacity:
             # only the newest `capacity` samples survive
             keep = slice(n - self.capacity, n)
@@ -48,13 +51,14 @@ class ReplayBuffer:
             self.zs[:] = zs[keep]
             self._write = 0
             self._size = self.capacity
-            return
+            return np.arange(self.capacity)
         idx = (self._write + np.arange(n)) % self.capacity
         self.states[idx] = states
         self.pis[idx] = pis
         self.zs[idx] = zs
         self._write = int((self._write + n) % self.capacity)
         self._size = int(min(self._size + n, self.capacity))
+        return idx
 
     def sample(self, batch_size: int, rng: Optional[np.random.Generator] = None
                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -126,3 +130,48 @@ def load_replay_buffer(filepath: str, capacity: int,
     except Exception as e:
         print(f"[Buffer] load failed: {e}")
         return None
+
+
+class DeviceBufferMirror:
+    """Device-resident mirror of a :class:`ReplayBuffer`'s ring arrays.
+
+    Motivation (measured, round 4): the host-side epoch path ships the
+    full pre-sampled batch stack — ``steps × batch`` samples, ~1 GB at
+    the production config — through the host↔device link every
+    iteration, and the train phase is link-bound, not compute-bound.
+    The mirror keeps the ring arrays in HBM (~430 MB at capacity 120k),
+    ships only each iteration's NEW samples (`sync` after
+    ``ReplayBuffer.add``), and the epoch gathers batches on device from
+    a tiny [steps, batch] index array.
+
+    Sampling semantics are unchanged: callers draw the same
+    without-replacement numpy index batches as the host path and pass
+    them in, so the two paths are bit-identical given the same RNG
+    stream (tests/test_device_buffer.py).
+    """
+
+    def __init__(self, buffer: ReplayBuffer):
+        import jax.numpy as jnp
+
+        self.capacity = buffer.capacity
+        if len(buffer):
+            # resume case: seed from the loaded host buffer (one-time ship)
+            self.states = jnp.asarray(buffer.states)
+            self.pis = jnp.asarray(buffer.pis)
+            self.zs = jnp.asarray(buffer.zs)
+        else:
+            self.states = jnp.zeros_like(buffer.states)
+            self.pis = jnp.zeros_like(buffer.pis)
+            self.zs = jnp.zeros_like(buffer.zs)
+
+    def sync(self, states: np.ndarray, pis: np.ndarray, zs: np.ndarray,
+             positions: np.ndarray) -> None:
+        """Write this iteration's new samples at their ring positions."""
+        if len(positions) == 0:
+            return
+        import jax.numpy as jnp
+
+        pos = jnp.asarray(positions)
+        self.states = self.states.at[pos].set(jnp.asarray(states))
+        self.pis = self.pis.at[pos].set(jnp.asarray(pis))
+        self.zs = self.zs.at[pos].set(jnp.asarray(zs, self.zs.dtype))

@@ -37,6 +37,7 @@ from alphazero_gomoku_tpu.models.resnet import apply
 from alphazero_gomoku_tpu.search.tree import MCTSConfig
 from alphazero_gomoku_tpu.selfplay.arena import evaluate_params
 from alphazero_gomoku_tpu.selfplay.buffer import (
+    DeviceBufferMirror,
     ReplayBuffer,
     load_replay_buffer,
     save_replay_buffer,
@@ -87,6 +88,34 @@ def train_epoch_fn(net_cfg, tx, params, batch_stats, opt_state, xs, pis, zs,
 
     (params, batch_stats, opt_state), metrics = jax.lax.scan(
         step, (params, batch_stats, opt_state), (xs, pis, zs)
+    )
+    last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
+    return params, batch_stats, opt_state, last
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 9))
+def train_epoch_gather_fn(net_cfg, tx, params, batch_stats, opt_state,
+                          dev_states, dev_pis, dev_zs, idx,
+                          value_loss_weight: float = 1.0):
+    """Epoch over device-resident ring arrays, gathering per-step batches.
+
+    ``idx`` is the [n_batches, batch] i32 sample-index array (same numpy
+    without-replacement draws as the host path — the only thing shipped
+    to the device besides new samples).  Bit-identical to
+    :func:`train_epoch_fn` on host-gathered batches."""
+
+    def step(carry, ib):
+        params, stats, opt = carry
+        x = dev_states[ib]
+        pi = dev_pis[ib]
+        z = dev_zs[ib].reshape(-1, 1)
+        params, stats, opt, metrics = train_step_fn(
+            net_cfg, tx, params, stats, opt, x, pi, z, value_loss_weight
+        )
+        return (params, stats, opt), metrics
+
+    (params, batch_stats, opt_state), metrics = jax.lax.scan(
+        step, (params, batch_stats, opt_state), idx
     )
     last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
     return params, batch_stats, opt_state, last
@@ -219,6 +248,9 @@ def train_alphazero(
         log("[Buffer] starting with an empty buffer")
         buffer = ReplayBuffer(capacity=buffer_size, board_size=board_size,
                               channels=env.obs_channels)
+    # device-resident ring mirror: single-device path only (the sharded
+    # epoch keeps the host batch flow; see DeviceBufferMirror docstring)
+    dev_mirror = DeviceBufferMirror(buffer) if mesh is None else None
 
     if use_fused_inference and inference == "f32":
         inference = "fused"  # back-compat alias for the old boolean flag
@@ -329,7 +361,12 @@ def train_alphazero(
                 value_target_mix=value_target_mix,
                 capture_planes=pente_capture_planes,
             )
-        buffer.add(states, pis, zs)
+        written = buffer.add(states, pis, zs)
+        if dev_mirror is not None:
+            if len(written) == buffer.capacity:
+                dev_mirror = DeviceBufferMirror(buffer)  # full overwrite
+            else:
+                dev_mirror.sync(states, pis, zs, written)
         if selfplay_mode == "continuous":
             n_moves = int(np.asarray(traj.ended).size)
             if len(zs) == 0:
@@ -353,9 +390,9 @@ def train_alphazero(
                     f"steps/epoch={n_batches}")
                 for epoch in range(epochs_per_iter):
                     t1 = time.time()
-                    xs, ps, zb = buffer.sample_many(n_batches, batch_size,
-                                                    rng_np)
                     if sharded_epoch_fn is not None:
+                        xs, ps, zb = buffer.sample_many(n_batches, batch_size,
+                                                        rng_np)
                         (model_candidate.params,
                          model_candidate.batch_stats,
                          model_candidate.opt_state,
@@ -365,7 +402,28 @@ def train_alphazero(
                             model_candidate.opt_state,
                             jnp.asarray(xs), jnp.asarray(ps),
                             jnp.asarray(zb))
+                    elif dev_mirror is not None:
+                        # same RNG draws as buffer.sample_many — only the
+                        # [steps, batch] index array crosses the link
+                        idx = np.stack([
+                            rng_np.choice(len(buffer), size=batch_size,
+                                          replace=False)
+                            for _ in range(n_batches)
+                        ]).astype(np.int32)
+                        (model_candidate.params,
+                         model_candidate.batch_stats,
+                         model_candidate.opt_state,
+                         metrics) = train_epoch_gather_fn(
+                            model_candidate.cfg, model_candidate.tx,
+                            model_candidate.params,
+                            model_candidate.batch_stats,
+                            model_candidate.opt_state,
+                            dev_mirror.states, dev_mirror.pis,
+                            dev_mirror.zs, jnp.asarray(idx),
+                            value_loss_weight)
                     else:
+                        xs, ps, zb = buffer.sample_many(n_batches, batch_size,
+                                                        rng_np)
                         (model_candidate.params,
                          model_candidate.batch_stats,
                          model_candidate.opt_state,
