@@ -17,12 +17,13 @@ RED, BLUE, RESET = "\033[31m", "\033[34m", "\033[0m"
 
 
 def run_match(player1_name: str, player2_name: str, game_name: str = "gomoku",
-              size: int = 15, max_retries_per_turn: int = 20) -> int:
+              size: int = 15, max_retries_per_turn: int = 20,
+              p1_kwargs=None, p2_kwargs=None) -> int:
     """Play one match; returns the winner (0/1/2)."""
     game = make_host_game(game_name, size)
     players = {
-        1: load_player(player1_name, game_name, size),
-        2: load_player(player2_name, game_name, size),
+        1: load_player(player1_name, game_name, size, **(p1_kwargs or {})),
+        2: load_player(player2_name, game_name, size, **(p2_kwargs or {})),
     }
     print(f"\nStarting {game_name.capitalize()}")
     print(f"{RED}●{RESET} player 1: {player1_name}")
@@ -59,8 +60,26 @@ def main(argv=None):
     ap.add_argument("player2")
     ap.add_argument("--game", default="gomoku", choices=["gomoku", "pente"])
     ap.add_argument("--size", type=int, default=15)
+    ap.add_argument("--p1-model", default=None,
+                    help="checkpoint path override for player1 (AlphaZero "
+                         "variants; .pt reference snapshots accepted)")
+    ap.add_argument("--p2-model", default=None)
+    ap.add_argument("--p1-sims", type=int, default=None,
+                    help="n_simulations (alpha) / n_playout (mcts) override")
+    ap.add_argument("--p2-sims", type=int, default=None)
     args = ap.parse_args(argv)
-    run_match(args.player1, args.player2, args.game, args.size)
+
+    def kw(name, model, sims):
+        out = {}
+        if model is not None:
+            out["model_path"] = model
+        if sims is not None:
+            out["n_playout" if "mcts" in name else "n_simulations"] = sims
+        return out
+
+    run_match(args.player1, args.player2, args.game, args.size,
+              p1_kwargs=kw(args.player1, args.p1_model, args.p1_sims),
+              p2_kwargs=kw(args.player2, args.p2_model, args.p2_sims))
     return 0
 
 

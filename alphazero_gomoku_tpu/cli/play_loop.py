@@ -73,11 +73,13 @@ def to_json_safe(obj):
 
 
 def play_one_game(first_name, second_name, game, game_name, size, metrics,
-                  game_iter, rng):
+                  game_iter, rng, player_kwargs=None):
     """One game with ``first_name`` seated as player 1. Returns winner name."""
+    pk = player_kwargs or {}
     seats = {
-        1: load_player(first_name, game_name, size),
-        2: load_player(second_name, game_name, size),
+        1: load_player(first_name, game_name, size, **pk.get(first_name, {})),
+        2: load_player(second_name, game_name, size,
+                       **pk.get(second_name, {})),
     }
     metrics["starting_player_per_game"][f"game_{game_iter}"] = first_name
     key = f"game_{game_iter}"
@@ -119,11 +121,13 @@ def play_one_game(first_name, second_name, game, game_name, size, metrics,
 
 
 def loop_for_n_games(p1_name, p2_name, n_games, game_name="gomoku", size=15,
-                     pause_seconds=0.0, seed=None):
+                     pause_seconds=0.0, seed=None,
+                     p1_kwargs=None, p2_kwargs=None):
     os.makedirs(METRICS_DIR, exist_ok=True)
     rng = random.Random(seed)
-    p1 = load_player(p1_name, game_name, size)
-    p2 = load_player(p2_name, game_name, size)
+    player_kwargs = {p1_name: p1_kwargs or {}, p2_name: p2_kwargs or {}}
+    p1 = load_player(p1_name, game_name, size, **player_kwargs[p1_name])
+    p2 = load_player(p2_name, game_name, size, **player_kwargs[p2_name])
     wins = {p1_name: 0, p2_name: 0}
     metrics = initiate_metrics(p1_name, p2_name, p1, p2, game_name, n_games)
 
@@ -133,7 +137,8 @@ def loop_for_n_games(p1_name, p2_name, n_games, game_name="gomoku", size=15,
         first, second = (p1_name, p2_name) if i % 2 == 0 else (p2_name, p1_name)
         t_game = time.time()
         winner = play_one_game(first, second, game, game_name, size,
-                               metrics, i + 1, rng)
+                               metrics, i + 1, rng,
+                               player_kwargs=player_kwargs)
         metrics["game_duration_seconds"][f"game_{i + 1}"] = time.time() - t_game
         if winner:
             wins[winner] += 1
@@ -170,9 +175,27 @@ def main(argv=None):
     ap.add_argument("--pause", type=float, default=0.0,
                     help="seconds to sleep between games (reference used 3)")
     ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--p1-model", default=None,
+                    help="checkpoint path override for player1 (AlphaZero "
+                         "variants; .pt reference snapshots accepted)")
+    ap.add_argument("--p2-model", default=None)
+    ap.add_argument("--p1-sims", type=int, default=None,
+                    help="n_simulations (alpha) / n_playout (mcts) override")
+    ap.add_argument("--p2-sims", type=int, default=None)
     args = ap.parse_args(argv)
+
+    def kw(name, model, sims):
+        out = {}
+        if model is not None:
+            out["model_path"] = model
+        if sims is not None:
+            out["n_playout" if "mcts" in name else "n_simulations"] = sims
+        return out
+
     loop_for_n_games(args.player1, args.player2, args.n_games,
-                     args.game, args.size, args.pause, args.seed)
+                     args.game, args.size, args.pause, args.seed,
+                     p1_kwargs=kw(args.player1, args.p1_model, args.p1_sims),
+                     p2_kwargs=kw(args.player2, args.p2_model, args.p2_sims))
     return 0
 
 

@@ -42,8 +42,14 @@ def request_move(player, game, turn_number: int, max_retries: int = 20,
     return None
 
 
-def load_player(module_name: str, rules: str, size: int):
-    """Instantiate a ``Player`` from a module name (reference play.py:19-30)."""
+def load_player(module_name: str, rules: str, size: int, **player_kwargs):
+    """Instantiate a ``Player`` from a module name (reference play.py:19-30).
+
+    ``player_kwargs`` override the module's constructor defaults (e.g.
+    ``n_simulations=400, model_path="checkpoints/foo.ckpt"`` for the
+    AlphaZero variants, ``n_playout=50`` for the pure-MCTS player) —
+    the reference requires editing the player module for this.
+    """
     module_name = module_name.replace(".py", "").strip()
     candidates = [
         f"alphazero_gomoku_tpu.players.{module_name}",
@@ -58,6 +64,6 @@ def load_player(module_name: str, rules: str, size: int):
             last_err = e
             continue
         if hasattr(module, "Player"):
-            return module.Player(rules, size)
+            return module.Player(rules, size, **player_kwargs)
         raise ValueError(f"no Player class found in {name}")
     raise ValueError(f"could not load player {module_name!r}: {last_err}")

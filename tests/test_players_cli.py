@@ -223,3 +223,26 @@ def test_pure_mcts_never_plays_past_game_end():
     root = _PureNode(state=g.clone())
     m._playout(root)
     assert root.children == {}  # terminal root never expanded
+
+
+def test_load_player_kwargs_override():
+    from alphazero_gomoku_tpu.players import load_player
+
+    p = load_player("player_mcts", "gomoku", 9, n_playout=7)
+    assert p.n_playout == 7
+    p2 = load_player("player_alpha", "gomoku", 9, n_simulations=12,
+                     model_path="/nonexistent.ckpt")
+    assert p2.n_simulations == 12
+
+
+def test_play_loop_cli_model_sims_flags(tmp_path, monkeypatch):
+    """--p1-sims/--p2-sims reach the per-game player constructors."""
+    import alphazero_gomoku_tpu.cli.play_loop as pl
+
+    monkeypatch.setattr(pl, "METRICS_DIR", tmp_path)
+    monkeypatch.setattr(pl.time, "sleep", lambda s: None)
+    rc = pl.main(["player_mcts", "player_mcts", "1", "--size", "7",
+                  "--seed", "3", "--p1-sims", "5", "--p2-sims", "5"])
+    assert rc == 0
+    import os
+    assert any(f.endswith(".json") for f in os.listdir(tmp_path))
