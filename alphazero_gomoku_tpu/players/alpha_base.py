@@ -48,6 +48,27 @@ def infer_to_move(board: np.ndarray, captures=(0, 0)) -> int:
     return 1 if moves1 == moves2 else 2
 
 
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def _resolve_checkpoint(path: Optional[str], rules: str) -> Optional[str]:
+    """Find a usable snapshot: the given path as-is, then repo-relative,
+    then the shipped default in ``checkpoints/`` (cwd-independent, so the
+    GUI and CLIs work from anywhere)."""
+    if path and os.path.exists(path):
+        return path
+    candidates = []
+    if path:
+        candidates.append(os.path.join(_REPO_ROOT, path))
+    candidates.append(os.path.join(_REPO_ROOT, "checkpoints",
+                                   f"best_{rules}.ckpt"))
+    for c in candidates:
+        if os.path.exists(c):
+            return c
+    return path
+
+
 class AlphaZeroPlayer:
     def __init__(
         self,
@@ -66,6 +87,7 @@ class AlphaZeroPlayer:
         self.model_path = model_path
 
         self.env = make_env(self.rules, board_size)
+        model_path = _resolve_checkpoint(model_path, self.rules)
         if model_path and os.path.exists(model_path):
             print(f"[AlphaZeroPlayer] loading model: {model_path}")
             # size the net from the checkpoint's own metadata so plugins
