@@ -44,13 +44,21 @@ comes from the immediate win/block scans.
 
 from __future__ import annotations
 
+import ctypes
 import math
 import random
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from alphazero_gomoku_tpu.native import load_puremcts
+
 _DIR_PAIRS = ((1, 0), (0, 1), (1, 1), (1, -1))
+
+
+def _board_ptr(board: np.ndarray):
+    b = np.ascontiguousarray(board, dtype=np.int8)
+    return b, b.ctypes.data_as(ctypes.POINTER(ctypes.c_int8))
 
 
 def _shift(mask: np.ndarray, dr: int, dc: int, fill=0) -> np.ndarray:
@@ -85,7 +93,26 @@ def _runs_and_open(board: np.ndarray, player: int, dr: int, dc: int):
 
 def threat_scores(board: np.ndarray, player: int,
                   table: str = "gomoku") -> np.ndarray:
-    """Vectorized per-cell threat score for placing ``player`` at each cell."""
+    """Per-cell threat score for placing ``player`` at each cell.
+
+    Dispatches to the native C kernel when available (the NumPy path costs
+    ~1 ms/call in 225-cell numpy dispatch overhead; the C path ~5 us);
+    ``AZG_NO_NATIVE=1`` forces NumPy. Both paths are differential-tested
+    equal (tests/test_native.py)."""
+    lib = load_puremcts()
+    if lib is not None:
+        b, ptr = _board_ptr(board)
+        out = np.empty(b.shape, np.float32)
+        lib.az_threat_scores(
+            ptr, b.shape[0], player, 0 if table == "gomoku" else 1,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        return out
+    return _threat_scores_np(board, player, table)
+
+
+def _threat_scores_np(board: np.ndarray, player: int,
+                      table: str = "gomoku") -> np.ndarray:
+    """Vectorized per-cell threat score (NumPy reference path)."""
     score = np.zeros(board.shape, np.float32)
     for dr, dc in _DIR_PAIRS:
         r_p, o_p = _runs_and_open(board, player, dr, dc)
@@ -116,6 +143,18 @@ def capture_potential(board: np.ndarray, player: int) -> np.ndarray:
     This is the PRIOR heuristic (reference ``mcts_pure.py:277-289`` scans
     only the positive rays); for true capture counts use
     :func:`capture_count_all`."""
+    lib = load_puremcts()
+    if lib is not None:
+        b, ptr = _board_ptr(board)
+        out = np.empty(b.shape, np.int32)
+        lib.az_capture_potential(
+            ptr, b.shape[0], player,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return out
+    return _capture_potential_np(board, player)
+
+
+def _capture_potential_np(board: np.ndarray, player: int) -> np.ndarray:
     opp = 3 - player
     o = (board == opp)
     m = (board == player)
@@ -131,6 +170,18 @@ def capture_potential(board: np.ndarray, player: int) -> np.ndarray:
 
 def capture_count_all(board: np.ndarray, player: int) -> np.ndarray:
     """Per-cell TRUE number of pairs ``player`` would capture (all 8 rays)."""
+    lib = load_puremcts()
+    if lib is not None:
+        b, ptr = _board_ptr(board)
+        out = np.empty(b.shape, np.int32)
+        lib.az_capture_count_all(
+            ptr, b.shape[0], player,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return out
+    return _capture_count_all_np(board, player)
+
+
+def _capture_count_all_np(board: np.ndarray, player: int) -> np.ndarray:
     opp = 3 - player
     o = (board == opp)
     m = (board == player)
@@ -155,6 +206,16 @@ def winning_cells(state, player: int) -> np.ndarray:
     captured-pair count to the threshold.
     """
     board = state.board
+    lib = load_puremcts()
+    if lib is not None:
+        need = (max(5 - state.captures[player], 0)
+                if hasattr(state, "captures") else -1)
+        b, ptr = _board_ptr(board)
+        out = np.empty(b.shape, np.uint8)
+        lib.az_winning_cells(
+            ptr, b.shape[0], player, need,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        return out.astype(bool)
     empty = board == 0
     win = np.zeros(board.shape, bool)
     for dr, dc in _DIR_PAIRS:
@@ -163,13 +224,18 @@ def winning_cells(state, player: int) -> np.ndarray:
         win |= (1 + r_p.astype(np.int32) + r_m.astype(np.int32)) >= 5
     if hasattr(state, "captures"):
         need = 5 - state.captures[player]
-        win |= capture_count_all(board, player) >= max(need, 0)
+        win |= _capture_count_all_np(board, player) >= max(need, 0)
     return win & empty
 
 
+_CENTER_CACHE: Dict[int, np.ndarray] = {}
+
+
 def _center_bias(size: int) -> np.ndarray:
-    r = np.abs(np.arange(size) - size // 2)
-    return -(r[:, None] + r[None, :]).astype(np.float32)
+    if size not in _CENTER_CACHE:
+        r = np.abs(np.arange(size) - size // 2)
+        _CENTER_CACHE[size] = -(r[:, None] + r[None, :]).astype(np.float32)
+    return _CENTER_CACHE[size]
 
 
 class _PureNode:
@@ -215,23 +281,35 @@ class PureMCTS:
         self.rng = rng or random.Random()
 
     # -- heuristic policy ----------------------------------------------
-    def _policy(self, state) -> List[Tuple[Tuple[int, int], float]]:
-        moves = state.get_legal_moves()
-        if not moves:
-            return []
-        me = state.current_player
+    def _policy(self, state) -> Tuple[List[Tuple[int, int]], np.ndarray]:
+        """(legal moves, softmax prior) — moves in row-major order, the same
+        order ``get_legal_moves`` produces."""
         board = state.board
-        score = (2.0 * threat_scores(board, me, self.table)
-                 + 1.5 * threat_scores(board, 3 - me, self.table)
-                 + 0.1 * _center_bias(state.size))
-        if self.table == "pente":
-            score = score + 3.0 * 20.0 * capture_potential(board, me)
-        vals = np.array([score[m] for m in moves], np.float64)
+        me = state.current_player
+        rs, cs = np.nonzero(board == 0)
+        if rs.size == 0:
+            return [], np.empty(0)
+        moves = list(zip(rs.tolist(), cs.tolist()))
+        lib = load_puremcts()
+        if lib is not None and state.size <= 32:
+            b, ptr = _board_ptr(board)
+            score = np.empty(b.shape, np.float32)
+            lib.az_policy_scores(
+                ptr, state.size, me, 0 if self.table == "gomoku" else 1,
+                score.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+            score = score + 0.1 * _center_bias(state.size)
+        else:
+            score = (2.0 * threat_scores(board, me, self.table)
+                     + 1.5 * threat_scores(board, 3 - me, self.table)
+                     + 0.1 * _center_bias(state.size))
+            if self.table == "pente":
+                score = score + 3.0 * 20.0 * capture_potential(board, me)
+        vals = score[rs, cs].astype(np.float64)
         if not vals.any():
             vals = np.ones(len(moves))
         probs = np.exp(vals - vals.max())
         probs /= probs.sum()
-        return list(zip(moves, probs))
+        return moves, probs
 
     # -- immediate tactics ---------------------------------------------
     def _winning_move(self, state, player) -> Optional[Tuple[int, int]]:
@@ -257,10 +335,9 @@ class PureMCTS:
             if block is not None:
                 state.do_move(block)
                 return 0.8
-            policy = self._policy(state)
-            if not policy:
+            moves, probs = self._policy(state)
+            if not moves:
                 break
-            moves, probs = zip(*policy)
             state.do_move(self.rng.choices(moves, weights=probs, k=1)[0])
             depth += 1
         winner = state.check_winner()
@@ -270,17 +347,26 @@ class PureMCTS:
 
     # -- one playout -----------------------------------------------------
     def _playout(self, root: _PureNode):
+        """One PUCT playout from ``root`` (whose ``state`` is the position).
+
+        Children carry only (move, prior); the leaf position is materialised
+        by replaying the selected path on ONE scratch clone — the reference
+        clones once per simulation too (``mcts_pure.py:121-131``), but the
+        earlier design here cloned the full game object into every expanded
+        child (~225 clones/expansion), which dominated the profile.
+        """
         node = root
+        state = root.state.clone()
         while node.children:
             node = node.best_child(self.c_puct)
+            state.do_move(node.move)
         # never expand past the end of the game (the reference does, which
         # loses the win signal: check_winner only scans through last_move)
-        if not node.state.is_game_over():
-            for move, prob in self._policy(node.state):
-                nxt = node.state.clone()
-                nxt.do_move(move)
-                node.children[move] = _PureNode(node, float(prob), move, nxt)
-        value = self._rollout(node.state.clone())
+        if not state.is_game_over():
+            moves, probs = self._policy(state)
+            for move, prob in zip(moves, probs):
+                node.children[move] = _PureNode(node, float(prob), move)
+        value = self._rollout(state)
         node.update_path(-value)
 
     # -- public ----------------------------------------------------------
