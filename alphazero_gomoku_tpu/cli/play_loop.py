@@ -73,12 +73,19 @@ def to_json_safe(obj):
 
 
 def play_one_game(first_name, second_name, game, game_name, size, metrics,
-                  game_iter, rng, player_kwargs=None):
-    """One game with ``first_name`` seated as player 1. Returns winner name."""
+                  game_iter, rng, player_kwargs=None, modules=None):
+    """One game with ``first_name`` seated as player 1. Returns winner name.
+
+    ``first_name``/``second_name`` are metric LABELS; ``modules`` maps a
+    label to its player module (labels get a ``[seat]`` suffix when both
+    seats load the same module with different overrides, so per-seat
+    kwargs and win tallies never collapse onto one key)."""
     pk = player_kwargs or {}
+    mods = modules or {first_name: first_name, second_name: second_name}
     seats = {
-        1: load_player(first_name, game_name, size, **pk.get(first_name, {})),
-        2: load_player(second_name, game_name, size,
+        1: load_player(mods[first_name], game_name, size,
+                       **pk.get(first_name, {})),
+        2: load_player(mods[second_name], game_name, size,
                        **pk.get(second_name, {})),
     }
     metrics["starting_player_per_game"][f"game_{game_iter}"] = first_name
@@ -125,20 +132,27 @@ def loop_for_n_games(p1_name, p2_name, n_games, game_name="gomoku", size=15,
                      p1_kwargs=None, p2_kwargs=None):
     os.makedirs(METRICS_DIR, exist_ok=True)
     rng = random.Random(seed)
-    player_kwargs = {p1_name: p1_kwargs or {}, p2_name: p2_kwargs or {}}
-    p1 = load_player(p1_name, game_name, size, **player_kwargs[p1_name])
-    p2 = load_player(p2_name, game_name, size, **player_kwargs[p2_name])
-    wins = {p1_name: 0, p2_name: 0}
-    metrics = initiate_metrics(p1_name, p2_name, p1, p2, game_name, n_games)
+    # seat-qualified labels so a same-module matchup (e.g. two snapshots of
+    # player_alpha) keeps distinct kwargs, metrics and win tallies
+    if p1_name == p2_name:
+        label1, label2 = f"{p1_name}[1]", f"{p2_name}[2]"
+    else:
+        label1, label2 = p1_name, p2_name
+    modules = {label1: p1_name, label2: p2_name}
+    player_kwargs = {label1: p1_kwargs or {}, label2: p2_kwargs or {}}
+    p1 = load_player(p1_name, game_name, size, **player_kwargs[label1])
+    p2 = load_player(p2_name, game_name, size, **player_kwargs[label2])
+    wins = {label1: 0, label2: 0}
+    metrics = initiate_metrics(label1, label2, p1, p2, game_name, n_games)
 
     t_start = time.time()
     for i in range(n_games):
         game = make_host_game(game_name, size)
-        first, second = (p1_name, p2_name) if i % 2 == 0 else (p2_name, p1_name)
+        first, second = (label1, label2) if i % 2 == 0 else (label2, label1)
         t_game = time.time()
         winner = play_one_game(first, second, game, game_name, size,
                                metrics, i + 1, rng,
-                               player_kwargs=player_kwargs)
+                               player_kwargs=player_kwargs, modules=modules)
         metrics["game_duration_seconds"][f"game_{i + 1}"] = time.time() - t_game
         if winner:
             wins[winner] += 1

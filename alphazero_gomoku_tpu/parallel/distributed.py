@@ -67,7 +67,16 @@ def initialize_distributed(
     if not auto and coordinator_address is None and num_processes in (None, 1):
         return False
     if auto and coordinator_address is None:
-        jax.distributed.initialize()
+        # keep explicitly passed process args even in auto mode — silently
+        # dropping them can misconfigure non-pod multi-host setups
+        kw = {}
+        if num_processes is not None:
+            kw["num_processes"] = num_processes
+        if process_id is not None:
+            kw["process_id"] = process_id
+        if local_device_ids is not None:
+            kw["local_device_ids"] = local_device_ids
+        jax.distributed.initialize(**kw)
     else:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

@@ -52,17 +52,24 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
-def _resolve_checkpoint(path: Optional[str], rules: str) -> Optional[str]:
+#: constructor default shared by every shipped player variant; any other
+#: value counts as an explicitly requested checkpoint
+DEFAULT_MODEL_PATH = "models/best_latest.ckpt"
+
+
+def _resolve_checkpoint(path: Optional[str], rules: str,
+                        allow_default: bool = True) -> Optional[str]:
     """Find a usable snapshot: the given path as-is, then repo-relative,
-    then the shipped default in ``checkpoints/`` (cwd-independent, so the
-    GUI and CLIs work from anywhere)."""
+    then (``allow_default``) the shipped default in ``checkpoints/``
+    (cwd-independent, so the GUI and CLIs work from anywhere)."""
     if path and os.path.exists(path):
         return path
     candidates = []
     if path:
         candidates.append(os.path.join(_REPO_ROOT, path))
-    candidates.append(os.path.join(_REPO_ROOT, "checkpoints",
-                                   f"best_{rules}.ckpt"))
+    if allow_default:
+        candidates.append(os.path.join(_REPO_ROOT, "checkpoints",
+                                       f"best_{rules}.ckpt"))
     for c in candidates:
         if os.path.exists(c):
             return c
@@ -87,7 +94,16 @@ class AlphaZeroPlayer:
         self.model_path = model_path
 
         self.env = make_env(self.rules, board_size)
-        model_path = _resolve_checkpoint(model_path, self.rules)
+        explicit = model_path not in (None, DEFAULT_MODEL_PATH)
+        model_path = _resolve_checkpoint(model_path, self.rules,
+                                         allow_default=not explicit)
+        if explicit and not (model_path and os.path.exists(model_path)):
+            # never silently substitute another net for a checkpoint the
+            # caller asked for by name (a typo'd --p1-model must not load
+            # the shipped default or random weights)
+            raise FileNotFoundError(
+                f"AlphaZero player: requested checkpoint {model_path!r} "
+                "does not exist")
         if model_path and os.path.exists(model_path):
             print(f"[AlphaZeroPlayer] loading model: {model_path}")
             # size the net from the checkpoint's own metadata so plugins

@@ -199,6 +199,13 @@ def train_alphazero(
         if verbose:
             print(*args, flush=True)
 
+    if pente_capture_planes and game_name != "pente":
+        # make_env ignores the flag for other games but collect_examples
+        # would still build 5-channel states, surfacing later as an opaque
+        # shape error at the first train step — fail clearly instead
+        raise ValueError(
+            f"pente_capture_planes=True requires game_name='pente' "
+            f"(got {game_name!r})")
     os.makedirs(model_dir, exist_ok=True)
     env = make_env(game_name, board_size,
                    capture_planes=pente_capture_planes)

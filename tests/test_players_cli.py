@@ -101,11 +101,15 @@ def test_cli_match_and_tournament(tmp_path, monkeypatch, capsys):
     assert len(files) == 1
     data = json.loads(files[0].read_text())
     assert data["n_games"] == 2
-    assert data["player1"][0] == "player_mcts"
+    # same-module matchups get seat-qualified labels so per-seat kwargs,
+    # metrics and win tallies never collapse onto one key
+    assert data["player1"][0] == "player_mcts[1]"
+    assert data["player2"][0] == "player_mcts[2]"
     assert data["draws"] + sum(data["wins"].values()) == 2
     # both games recorded moves and seat swap happened
-    assert data["starting_player_per_game"]["game_1"] == "player_mcts"
-    g1_moves = data["move_made"]["player_mcts"]["game_1"]
+    assert data["starting_player_per_game"]["game_1"] == "player_mcts[1]"
+    assert data["starting_player_per_game"]["game_2"] == "player_mcts[2]"
+    g1_moves = data["move_made"]["player_mcts[1]"]["game_1"]
     assert len(g1_moves) >= 1
 
 
@@ -230,9 +234,14 @@ def test_load_player_kwargs_override():
 
     p = load_player("player_mcts", "gomoku", 9, n_playout=7)
     assert p.n_playout == 7
-    p2 = load_player("player_alpha", "gomoku", 9, n_simulations=12,
-                     model_path="/nonexistent.ckpt")
+    p2 = load_player("player_alpha", "gomoku", 9, n_simulations=12)
     assert p2.n_simulations == 12
+    # an EXPLICIT checkpoint path that resolves nowhere must raise, never
+    # silently substitute the shipped default or random weights
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        load_player("player_alpha", "gomoku", 9,
+                    model_path="/nonexistent.ckpt")
 
 
 def test_play_loop_cli_model_sims_flags(tmp_path, monkeypatch):
