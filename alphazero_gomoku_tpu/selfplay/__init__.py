@@ -10,5 +10,9 @@ from alphazero_gomoku_tpu.selfplay.buffer import (  # noqa: F401
     save_replay_buffer,
     load_replay_buffer,
 )
-from alphazero_gomoku_tpu.selfplay.arena import evaluate_params  # noqa: F401
+from alphazero_gomoku_tpu.selfplay.arena import (  # noqa: F401
+    evaluate_params,
+    evaluate_params_detailed,
+    wilson_ci,
+)
 from alphazero_gomoku_tpu.selfplay.loop import train_alphazero  # noqa: F401

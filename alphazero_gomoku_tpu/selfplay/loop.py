@@ -35,7 +35,7 @@ from alphazero_gomoku_tpu.games import make_env
 from alphazero_gomoku_tpu.models.model import AZModel, train_step_fn
 from alphazero_gomoku_tpu.models.resnet import apply
 from alphazero_gomoku_tpu.search.tree import MCTSConfig
-from alphazero_gomoku_tpu.selfplay.arena import evaluate_params
+from alphazero_gomoku_tpu.selfplay.arena import evaluate_params_detailed
 from alphazero_gomoku_tpu.selfplay.buffer import (
     DeviceBufferMirror,
     ReplayBuffer,
@@ -451,7 +451,7 @@ def train_alphazero(
         # ---- phase 3: arena ------------------------------------------
         with timer.phase("arena"), trace_annotation("arena"):
             try:
-                new_wins, win_rate, draws = evaluate_params(
+                arena_stats = evaluate_params_detailed(
                     env, arena_cfg, eval_fn,
                     search_bundle(model_candidate),
                     search_bundle(model_best),
@@ -460,10 +460,20 @@ def train_alphazero(
                 )
             except Exception as e:  # keep training alive (ref behaviour)
                 log(f"evaluation failed: {e}")
-                new_wins, win_rate, draws = 0, 0.0, 0
+                arena_stats = {"wins": 0, "played": 0, "draws": 0,
+                               "win_rate": 0.0, "ci95": (0.0, 1.0),
+                               "pairs": {"win_both": 0, "split": 0,
+                                         "loss_both": 0, "n": 0}}
+        new_wins, win_rate = arena_stats["wins"], arena_stats["win_rate"]
+        draws = arena_stats["draws"]
+        ci_lo, ci_hi = arena_stats["ci95"]
+        pairs = arena_stats["pairs"]
         eval_dt = timer.last["arena"]
         log(f"eval done: {eval_dt:.1f}s, win_rate={win_rate:.3f} "
-            f"({new_wins}/{eval_games}), draws={draws}")
+            f"({new_wins}/{eval_games}), draws={draws}, "
+            f"CI95=[{ci_lo:.2f},{ci_hi:.2f}], mirrored pairs "
+            f"W/S/L={pairs['win_both']}/{pairs['split']}/"
+            f"{pairs['loss_both']}")
 
         # ---- phase 4: gate -------------------------------------------
         accepted = win_rate >= win_rate_threshold
@@ -502,6 +512,8 @@ def train_alphazero(
             "train_seconds": round(timer.last.get("train", 0.0), 3),
             "loss": loss_info,
             "win_rate": win_rate,
+            "win_rate_ci95": [round(ci_lo, 4), round(ci_hi, 4)],
+            "arena_pairs": pairs,
             "draws": draws,
             "accepted": accepted,
             "buffer_size": len(buffer),

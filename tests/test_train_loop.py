@@ -56,6 +56,67 @@ def test_arena_self_match_is_seat_fair():
     assert 0.25 <= wins / max(decided, 1) <= 0.75
 
 
+def test_wilson_ci_math():
+    from alphazero_gomoku_tpu.selfplay import wilson_ci
+
+    assert wilson_ci(0, 0) == (0.0, 1.0)
+    lo, hi = wilson_ci(8, 16)
+    assert 0.0 < lo < 0.5 < hi < 1.0
+    # canonical value: 8/16 at z=1.96 -> [0.2800, 0.7200] (4 dp)
+    assert abs(lo - 0.28) < 0.005 and abs(hi - 0.72) < 0.005
+    # degenerate extremes stay inside [0, 1]
+    lo0, hi0 = wilson_ci(0, 16)
+    lo1, hi1 = wilson_ci(16, 16)
+    assert lo0 == 0.0 and hi0 < 0.35 and lo1 > 0.65 and hi1 == 1.0
+
+
+def test_arena_mirrored_openings_and_pair_stats():
+    """Both seat halves must receive the SAME rng (same openings) and the
+    pair tally must line up index-for-index."""
+    env = GomokuEnv(SIZE)
+    m = AZModel(board_size=SIZE, n_res_blocks=1, channels=8, seed=4)
+    cfg = MCTSConfig(n_simulations=4, cpuct=1.0, add_noise=False)
+    eval_fn = make_eval_fn(m.cfg)
+    from alphazero_gomoku_tpu.selfplay import evaluate_params_detailed
+
+    calls = []
+
+    def fake_half(p1, p2, n, key):
+        calls.append(np.asarray(key))
+        # winner decided by game index parity: P1 wins even games
+        return np.where(np.arange(n) % 2 == 0, 1, 2).astype(np.int32)
+
+    r = evaluate_params_detailed(
+        env, cfg, eval_fn, bundle_of(m), bundle_of(m), 8,
+        jax.random.PRNGKey(11), arena_half_fn=fake_half,
+    )
+    assert len(calls) == 2
+    np.testing.assert_array_equal(calls[0], calls[1])  # mirrored openings
+    # half A: candidate is P1, wins games 0,2 of 4; half B: candidate is
+    # P2, wins games 1,3 -> every opening pair splits 1-1
+    assert r["wins"] == 4 and r["played"] == 8 and r["win_rate"] == 0.5
+    assert r["pairs"] == {"win_both": 0, "split": 4, "loss_both": 0, "n": 4}
+    lo, hi = r["ci95"]
+    assert lo < 0.5 < hi
+
+
+def test_arena_real_pairing_is_deterministic():
+    """With identical params and the mirrored design, the two halves of a
+    REAL arena must produce mirror-image winner arrays (deterministic
+    argmax play from identical openings)."""
+    from alphazero_gomoku_tpu.selfplay.arena import arena_half
+
+    env = GomokuEnv(SIZE)
+    m = AZModel(board_size=SIZE, n_res_blocks=1, channels=8, seed=5)
+    cfg = MCTSConfig(n_simulations=8, cpuct=1.0, add_noise=False)
+    eval_fn = make_eval_fn(m.cfg)
+    key = jax.random.PRNGKey(13)
+    b = bundle_of(m)
+    w_a = np.asarray(arena_half(env, cfg, eval_fn, b, b, 6, key))
+    w_b = np.asarray(arena_half(env, cfg, eval_fn, b, b, 6, key))
+    np.testing.assert_array_equal(w_a, w_b)
+
+
 @pytest.mark.slow
 def test_train_loop_end_to_end(tmp_path):
     model_dir = str(tmp_path / "models")
