@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["xla", "pallas"],
                     help="tree-op implementation: XLA gather/scatter or "
                          "Pallas packed-row DMA kernels")
+    ap.add_argument("--mcts-leaves-per-sim", type=int, default=1,
+                    help="k leaves selected (with virtual loss) per "
+                         "network call; 1 = reference-exact sequential "
+                         "search, larger k batches the NN harder")
     ap.add_argument("--n-res-blocks", type=int, default=3)
     ap.add_argument("--channels", type=int, default=64)
     ap.add_argument("--lr", type=float, default=1e-3)
@@ -119,6 +123,7 @@ def main(argv=None):
         dirichlet_n_moves=args.dirichlet_n_moves,
         mcts_max_depth=args.mcts_max_depth,
         mcts_backend=args.mcts_backend,
+        mcts_leaves_per_sim=args.mcts_leaves_per_sim,
         n_res_blocks=args.n_res_blocks,
         channels=args.channels,
         lr=args.lr,

@@ -54,6 +54,18 @@ class MCTSConfig:
     add_noise: bool = True
     max_nodes: Optional[int] = None  # default: n_simulations + 1
     max_depth: int = 0  # 0 = unbounded; see _select docstring
+    # leaves selected (with virtual loss) per network call, per game.
+    # 1 = the reference-exact sequential search.  k>1 selects k leaves
+    # back-to-back — each select backs up an assumed loss so the next
+    # avoids the same path, fresh children carry uniform placeholder
+    # priors until the batched eval lands (the reference's own queue
+    # placeholder trick, new_mcts_alpha.py:125-132) — then evaluates all
+    # k*B leaves in ONE forward and replaces the assumed losses with the
+    # real values.  Total leaf evaluations stay n_simulations, so equal
+    # configs spend equal network FLOPs. Strength parity is checked by
+    # arena A/B (tools/kleaf_ab.py); throughput gain comes from amortizing
+    # per-step glue and bigger MXU batches.
+    leaves_per_sim: int = 1
     # "xla": gather/scatter tree ops (reference implementation);
     # "pallas": packed-row DMA kernels (bit-identical results, faster on
     # TPU and immune to the large-batch XLA scatter fault; see
@@ -68,6 +80,15 @@ class MCTSConfig:
     #     so both modes coincide (tests/test_mcts.py); the flag exists to
     #     formally cover the legacy search's semantic surface (SURVEY M2).
     terminal_value_mode: str = "always_loss"
+
+    def __post_init__(self):
+        if self.leaves_per_sim < 1:
+            raise ValueError(f"leaves_per_sim={self.leaves_per_sim} < 1")
+        if (self.leaves_per_sim > 1
+                and self.n_simulations % self.leaves_per_sim != 0):
+            raise ValueError(
+                f"n_simulations={self.n_simulations} not divisible by "
+                f"leaves_per_sim={self.leaves_per_sim}")
 
     @property
     def node_capacity(self) -> int:
@@ -312,6 +333,82 @@ def _apply_eval_and_backup(env, cfg: MCTSConfig, tree: Tree, leaf, slot,
     return tree._replace(nw=nw)
 
 
+def _virtual_loss_walk(tree: Tree, leaf) -> Tree:
+    """Apply virtual loss along ``leaf`` -> root: every traversed edge gets
+    N+1 and W-1, with NO perspective alternation — each edge is made less
+    attractive to ITS OWN selecting player (the AGZ/LC0 convention; an
+    alternating backup would instead attract re-selection at every other
+    ply)."""
+    a_count = tree.prior.shape[-1]
+
+    def cond(carry):
+        node, _ = carry
+        return tree.parent[node] != -1
+
+    def body(carry):
+        node, nw = carry
+        p = tree.parent[node]
+        a = tree.parent_action[node]
+        nw = nw.at[p, a].add(1.0)
+        nw = nw.at[p, a_count + a].add(-1.0)
+        return (p, nw)
+
+    _, nw = jax.lax.while_loop(cond, body, (leaf, tree.nw))
+    return tree._replace(nw=nw)
+
+
+def _select_expand_vl(env, cfg: MCTSConfig, tree: Tree, slot):
+    """Select + expand one leaf and immediately apply VIRTUAL LOSS.
+
+    Building block of the k-leaves-per-sim batched search
+    (``cfg.leaves_per_sim > 1``): the fresh child gets uniform-over-legal
+    placeholder priors (the reference's queue-pending placeholder,
+    ``new_mcts_alpha.py:125-132``) so a subsequent select in the same
+    batch can descend through it, and every edge on the path gets N+1 /
+    W-1 so subsequent selects are steered away from the same path.
+    :func:`_finalize_leaf` later replaces the virtual loss with the real
+    evaluation.
+    """
+    tree, leaf, child_legal = _select_and_expand(env, cfg, tree, slot)
+    legal_f32 = child_legal.astype(jnp.float32)
+    n_legal = jnp.maximum(jnp.sum(legal_f32), 1.0)
+    placeholder = jnp.where(legal_f32 > 0, legal_f32 / n_legal, -1.0)
+    tree = tree._replace(prior=tree.prior.at[slot].set(placeholder))
+    return _virtual_loss_walk(tree, leaf), leaf, child_legal
+
+
+def _finalize_leaf(env, cfg: MCTSConfig, tree: Tree, leaf, slot,
+                   probs, value, child_legal) -> Tree:
+    """Replace a leaf's placeholder priors and virtual loss with the real
+    evaluation: overwrite the slot's prior row, then walk the path adding
+    ``v_flipped + 1`` to W at each edge (the +1 cancels the virtual loss;
+    ``v_flipped`` alternates perspective exactly like the k=1 backup; N
+    was already counted by the virtual-loss walk)."""
+    leaf_state = _node_state(tree, leaf)
+    leaf_value = jnp.where(
+        leaf_state.done, terminal_leaf_value(env, cfg, leaf_state), value
+    ).astype(jnp.float32)
+    priors = _signed_priors(probs, child_legal.astype(probs.dtype))
+    tree = tree._replace(prior=tree.prior.at[slot].set(priors))
+
+    a_count = tree.prior.shape[-1]
+
+    def cond(carry):
+        node, _, _ = carry
+        return tree.parent[node] != -1
+
+    def body(carry):
+        node, v, nw = carry
+        p = tree.parent[node]
+        a = tree.parent_action[node]
+        v = -v
+        nw = nw.at[p, a_count + a].add(v + 1.0)
+        return (p, v, nw)
+
+    _, _, nw = jax.lax.while_loop(cond, body, (leaf, leaf_value, tree.nw))
+    return tree._replace(nw=nw)
+
+
 # ----------------------------------------------------------------------
 # root priors (shared by the XLA and Pallas search backends)
 # ----------------------------------------------------------------------
@@ -406,7 +503,8 @@ def run_mcts_with_q(
     # kernels fail to lower below that, and the two backends are
     # bit-identical (tests/test_tree_pallas.py), so tiny batches
     # (interactive play, probes) silently take the XLA path.
-    if cfg.backend == "pallas" and root_states.done.shape[0] >= 8:
+    if (cfg.backend == "pallas" and root_states.done.shape[0] >= 8
+            and cfg.leaves_per_sim == 1):
         from alphazero_gomoku_tpu.search.tree_pallas import run_mcts_packed
         return run_mcts_packed(env, cfg, eval_fn, net_params, root_states,
                                move_numbers, rng)
@@ -423,6 +521,8 @@ def run_mcts_with_q(
     trees = trees._replace(prior=trees.prior.at[:, 0, :].set(signed))
 
     # --- simulations ----------------------------------------------------
+    k = cfg.leaves_per_sim
+
     def one_sim(trees, sim_idx):
         slot = sim_idx + 1  # identical across lanes => dense slice writes
         trees, leaves, child_legal = jax.vmap(
@@ -438,9 +538,39 @@ def run_mcts_with_q(
         )(trees, leaves, probs, values, child_legal)
         return trees, None
 
-    trees, _ = jax.lax.scan(
-        one_sim, trees, jnp.arange(cfg.n_simulations, dtype=jnp.int32)
-    )
+    def one_macro(trees, step_idx):
+        """k virtual-loss selects, ONE [k*B] network call, k finalizes."""
+        base_slot = step_idx * k + 1
+        leaves, legals = [], []
+        for j in range(k):
+            trees, leaf, legal = jax.vmap(
+                lambda t: _select_expand_vl(env, cfg, t, base_slot + j)
+            )(trees)
+            leaves.append(leaf)
+            legals.append(legal)
+        obs = jnp.concatenate([
+            jax.vmap(lambda t, l: env.encode(_node_state(t, l)))(trees, lv)
+            for lv in leaves
+        ], axis=0)
+        probs, values = eval_fn(net_params, obs)
+        probs = probs.reshape(k, batch, a)
+        values = values.reshape(k, batch)
+        for j in range(k):
+            trees = jax.vmap(
+                lambda t, l, p, v, cl: _finalize_leaf(
+                    env, cfg, t, l, base_slot + j, p, v, cl)
+            )(trees, leaves[j], probs[j], values[j], legals[j])
+        return trees, None
+
+    if k == 1:
+        trees, _ = jax.lax.scan(
+            one_sim, trees, jnp.arange(cfg.n_simulations, dtype=jnp.int32)
+        )
+    else:
+        trees, _ = jax.lax.scan(
+            one_macro, trees,
+            jnp.arange(cfg.n_simulations // k, dtype=jnp.int32)
+        )
 
     # --- visit-count policy --------------------------------------------
     counts = trees.nw[:, 0, :a]

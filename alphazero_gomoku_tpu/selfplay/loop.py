@@ -145,6 +145,7 @@ def train_alphazero(
     dirichlet_n_moves: int = 30,
     mcts_max_depth: int = 64,          # select-walk cap (0 = unbounded)
     mcts_backend: str = "xla",         # "xla" | "pallas" (tree kernels)
+    mcts_leaves_per_sim: int = 1,      # k leaves per NN call (virtual loss)
     # --- network (reference trainer defaults: 3 blocks / 64 ch) ---
     n_res_blocks: int = 3,
     channels: int = 64,
@@ -300,11 +301,15 @@ def train_alphazero(
             add_noise=True,
             max_depth=mcts_max_depth,
             backend=mcts_backend,
+            leaves_per_sim=mcts_leaves_per_sim,
         ),
     )
     arena_cfg = MCTSConfig(
         n_simulations=eval_mcts_simulations, cpuct=cpuct, add_noise=False,
         max_depth=mcts_max_depth, backend=mcts_backend,
+        leaves_per_sim=(mcts_leaves_per_sim
+                        if eval_mcts_simulations % mcts_leaves_per_sim == 0
+                        else 1),
     )
     arena_half_fn = None
     sharded_epoch_fn = None

@@ -41,6 +41,7 @@ def run_bench(batch_games: int = 64, n_simulations: int = 400,
               measure_moves: int = 48, seed: int = 0,
               dtype: str = "float32", infer: str = "f32",
               backend: str = "pallas", game: str = "gomoku",
+              leaves_per_sim: int = 1,
               vs_baseline: float = BASELINE_MOVES_PER_SEC) -> dict:
     """Lockstep self-play throughput (configs #2/#3/#4 shapes).
 
@@ -74,7 +75,8 @@ def run_bench(batch_games: int = 64, n_simulations: int = 400,
         mcts=MCTSConfig(n_simulations=n_simulations, cpuct=1.0,
                         add_noise=True, dirichlet_alpha=0.05,
                         dirichlet_epsilon=0.15, dirichlet_moves=10,
-                        max_depth=56, backend=backend),
+                        max_depth=56, backend=backend,
+                        leaves_per_sim=leaves_per_sim),
     )
 
     del warmup_moves  # single compiled program; warmup = first invocation
@@ -118,6 +120,7 @@ def run_bench(batch_games: int = 64, n_simulations: int = 400,
             "leaf_evals_per_sec": round(value * n_simulations, 0),
             "backend": backend,
             "inference": infer,
+            "leaves_per_sim": leaves_per_sim,
             "device": str(jax.devices()[0]),
         },
     }
@@ -244,6 +247,8 @@ if __name__ == "__main__":
     ap.add_argument("--channels", type=int, default=128)
     ap.add_argument("--game", default="gomoku", choices=["gomoku", "pente"])
     ap.add_argument("--moves", type=int, default=48)
+    ap.add_argument("--kleaf", type=int, default=1,
+                    help="leaves per network call (virtual-loss batching)")
     a = ap.parse_args()
     if a.all:
         run_all()
@@ -251,5 +256,5 @@ if __name__ == "__main__":
         print(json.dumps(run_bench(
             batch_games=a.batch, n_simulations=a.sims, infer=a.infer,
             backend=a.backend, n_res_blocks=a.blocks, channels=a.channels,
-            game=a.game, measure_moves=a.moves,
+            game=a.game, measure_moves=a.moves, leaves_per_sim=a.kleaf,
         )))

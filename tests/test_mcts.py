@@ -153,6 +153,125 @@ def test_matches_oracle_exactly(n_sims):
         )
 
 
+def oracle_mcts_kleaf(root_game, n_sims, k, cpuct):
+    """Host oracle for the k-leaves-per-sim virtual-loss search.
+
+    Mirrors tree._select_expand_vl/_finalize_leaf float-for-float: per
+    macro step, k selects each applying N+1/W-1 (no perspective flip) on
+    every traversed edge and giving fresh nodes uniform-over-legal
+    placeholder priors; then k finalizes in order, each overwriting the
+    leaf's priors with the real (masked, unrenormalized) policy and adding
+    ``v_flipped + 1`` to W along its path.
+    """
+    cpuct = np.float32(cpuct)
+    one = np.float32(1.0)
+    root = _Node(root_game.clone())
+    assert n_sims % k == 0
+    for _ in range(n_sims // k):
+        pending = []  # (leaf_node, path, is_new)
+        for _j in range(k):
+            node, path = root, []
+            while True:
+                if node.game.is_game_over():
+                    break
+                n, w, p = node.visit, node.w, node.prior
+                sqrt_sum = np.float32(
+                    np.sqrt(np.float32(n.sum(dtype=np.float32))))
+                scores = w / (one + n) + cpuct * p * sqrt_sum / (one + n)
+                scores = np.where(node.legal == 1.0, scores,
+                                  np.float32(-1e9))
+                a = int(np.argmax(scores))
+                new = a not in node.children
+                if new:
+                    g = node.game.clone()
+                    g.do_move(divmod(a, SIZE))
+                    child = _Node(g)
+                    # placeholder priors until the batched eval lands
+                    n_legal = np.float32(max(child.legal.sum(), 1.0))
+                    child.prior = (child.legal / n_legal).astype(np.float32)
+                    node.children[a] = child
+                path.append((node, a))
+                node = node.children[a]
+                if new:
+                    break
+            for parent, a in path:  # virtual loss, no flip
+                parent.visit[a] += one
+                parent.w[a] += np.float32(-1.0)
+            pending.append((node, path))
+        for node, path in pending:  # finalize in select order
+            stones = int((node.game.board != 0).sum())
+            if node.game.is_game_over():
+                v = np.float32(
+                    0.0 if node.game.get_winner() == 0 else -1.0)
+            else:
+                v = fake_value_np(stones)
+                p = fake_probs_np(stones) * node.legal
+                if p.sum(dtype=np.float32) < 1e-8:
+                    p = node.legal / np.float32(node.legal.sum())
+                node.prior = p.astype(np.float32)
+            for parent, a in reversed(path):
+                v = np.float32(-v)
+                parent.w[a] += v + one
+    total = root.visit.sum(dtype=np.float32)
+    return (root.visit / total).astype(np.float32)
+
+
+@pytest.mark.parametrize("k", [2, 4])
+def test_kleaf_matches_oracle_exactly(k):
+    games = [random_position(s, m) for s, m in
+             [(0, 0), (2, 8), (3, 15), (5, 5)]]
+    env = GomokuEnv(SIZE)
+    cfg = MCTSConfig(n_simulations=32, cpuct=1.25, add_noise=False,
+                     leaves_per_sim=k)
+
+    def to_state(g):
+        return env.from_board(
+            g.board, g.current_player, move_count=len(g.move_history))
+
+    states = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[to_state(g) for g in games])
+    moves = jnp.asarray([len(g.move_history) for g in games], jnp.int32)
+    run = jax.jit(
+        lambda st, mv, key: run_mcts(env, cfg, fake_eval_jax, None, st,
+                                     mv, key))
+    got = np.asarray(run(states, moves, jax.random.PRNGKey(0)))
+    for i, g in enumerate(games):
+        want = oracle_mcts_kleaf(g, 32, k, 1.25)
+        np.testing.assert_array_equal(
+            got[i], want, err_msg=f"game {i} diverged from k-leaf oracle")
+
+
+def test_kleaf_config_validation():
+    with pytest.raises(ValueError):
+        MCTSConfig(n_simulations=10, leaves_per_sim=4)  # not divisible
+    with pytest.raises(ValueError):
+        MCTSConfig(n_simulations=8, leaves_per_sim=0)
+
+
+def test_kleaf_virtual_loss_fully_cancelled():
+    """With a zero-value network and no reachable terminals, every W must
+    return to EXACTLY zero after finalize — any residual means the virtual
+    loss was not removed."""
+    env = GomokuEnv(SIZE)
+    cfg = MCTSConfig(n_simulations=24, cpuct=1.0, add_noise=False,
+                     leaves_per_sim=4)
+
+    def zero_eval(params, obs):
+        del params
+        b = obs.shape[0]
+        probs = jnp.ones((b, A), jnp.float32) / A
+        return probs, jnp.zeros((b, 1), jnp.float32)
+
+    from alphazero_gomoku_tpu.search.tree import run_mcts_with_q
+    states = env.init_batch(2)
+    pi, q = jax.jit(
+        lambda st, mv, key: run_mcts_with_q(env, cfg, zero_eval, None, st,
+                                            mv, key)
+    )(states, jnp.zeros((2,), jnp.int32), jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(q), 0.0)
+    np.testing.assert_allclose(np.asarray(pi).sum(-1), 1.0, atol=1e-5)
+
+
 def test_visit_sum_and_legality():
     games = [random_position(7, 6), random_position(8, 11)]
     n_sims = 32
