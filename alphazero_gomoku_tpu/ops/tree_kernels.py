@@ -243,7 +243,7 @@ def select_walk(packed: jax.Array, layout: PackedLayout, cpuct: float,
 # ----------------------------------------------------------------------
 # backup kernel
 # ----------------------------------------------------------------------
-def _backup_kernel(layout: PackedLayout,
+def _backup_kernel(layout: PackedLayout, mode: str,
                    packed_in, pnodes_ref, pacts_ref, plen_ref, values_ref,
                    expanding_ref, priors_ref, done_ref, slot_ref,
                    packed_out, rows_vmem, hopnodes_vmem, sems):
@@ -367,10 +367,17 @@ def _backup_kernel(layout: PackedLayout,
         v = jnp.where(parity, -values, values)
 
         upd_f = sub_mask_f[:, :, None] * onehot_f[:, None, :]
-        rows_vmem[:, :, 0:a] = groups[:, :, 0:a] + upd_f
-        rows_vmem[:, :, s:s + a] = (
-            groups[:, :, s:s + a] + upd_f * v[:, :, None]
-        )
+        if mode == "backup":       # one-shot backup: N+1, W += v_flipped
+            rows_vmem[:, :, 0:a] = groups[:, :, 0:a] + upd_f
+            w_add = upd_f * v[:, :, None]
+        elif mode == "vl":         # virtual loss: N+1, W-1, NO flip
+            rows_vmem[:, :, 0:a] = groups[:, :, 0:a] + upd_f
+            w_add = -upd_f
+        elif mode == "finalize":   # replace VL: W += v_flipped + 1, N as-is
+            w_add = upd_f * (v[:, :, None] + 1.0)
+        else:
+            raise ValueError(f"unknown backup mode: {mode!r}")
+        rows_vmem[:, :, s:s + a] = groups[:, :, s:s + a] + w_add
 
         # expansion edge (the path's last hop of an expanding lane) links
         # the fresh slot into the children segment
@@ -406,13 +413,13 @@ def _backup_kernel(layout: PackedLayout,
     jax.lax.while_loop(cond, body, jnp.int32(0))
 
 
-@functools.partial(jax.jit, static_argnames=("layout", "interpret"))
+@functools.partial(jax.jit, static_argnames=("layout", "interpret", "mode"))
 def backup_paths(packed: jax.Array, path_nodes: jax.Array,
                  path_actions: jax.Array, path_len: jax.Array,
                  values: jax.Array, expanding: jax.Array, slot: jax.Array,
                  layout: PackedLayout,
                  signed_priors: jax.Array, done: jax.Array,
-                 interpret: bool = False) -> jax.Array:
+                 interpret: bool = False, mode: str = "backup") -> jax.Array:
     """Write the fresh slot row, then apply one simulation's backup.
 
     In-place on ``packed`` (aliased); returns the updated array.  ``slot``
@@ -422,9 +429,20 @@ def backup_paths(packed: jax.Array, path_nodes: jax.Array,
     init (zero N/W, children -1).  Lanes with ``expanding[b] == 0``
     stopped on a terminal or depth-capped node and only receive N/W
     updates along their path.
+
+    ``mode`` selects the k-leaves-per-sim phase (tree._select_expand_vl /
+    _finalize_leaf semantics):
+      - "backup": the one-shot k=1 path — N+1, W += v_flipped per edge.
+      - "vl": virtual loss — N+1, W-1 per edge with NO perspective flip
+        (``values`` unused); ``signed_priors`` should be the uniform
+        placeholder; composes the slot row and links the child so the
+        next select can descend through it.
+      - "finalize": W += v_flipped + 1 per edge (cancels the virtual
+        loss), N untouched; re-composes the slot row with the REAL priors
+        (done/children writes are idempotent re-writes of the vl pass).
     """
     b = packed.shape[0]
-    kernel = functools.partial(_backup_kernel, layout)
+    kernel = functools.partial(_backup_kernel, layout, mode)
     return pl.pallas_call(
         kernel,
         in_specs=[

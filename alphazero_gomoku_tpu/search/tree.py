@@ -503,8 +503,7 @@ def run_mcts_with_q(
     # kernels fail to lower below that, and the two backends are
     # bit-identical (tests/test_tree_pallas.py), so tiny batches
     # (interactive play, probes) silently take the XLA path.
-    if (cfg.backend == "pallas" and root_states.done.shape[0] >= 8
-            and cfg.leaves_per_sim == 1):
+    if cfg.backend == "pallas" and root_states.done.shape[0] >= 8:
         from alphazero_gomoku_tpu.search.tree_pallas import run_mcts_packed
         return run_mcts_packed(env, cfg, eval_fn, net_params, root_states,
                                move_numbers, rng)

@@ -157,10 +157,81 @@ def run_mcts_packed(
         )
         return (packed, states), None
 
-    (packed, _), _ = jax.lax.scan(
-        one_sim, (packed, states),
-        jnp.arange(cfg.n_simulations, dtype=jnp.int32),
-    )
+    def one_macro(carry, step_idx):
+        """k-leaves-per-sim (cfg.leaves_per_sim > 1): k select+virtual-loss
+        passes, ONE [k*B] network call, k finalize passes — the packed
+        mirror of tree.one_macro (same op order, bit-identical results;
+        see ops/tree_kernels.backup_paths modes)."""
+        packed, states = carry
+        k = cfg.leaves_per_sim
+        base_slot = step_idx * k + 1
+        pend = []
+        for j in range(k):
+            slot = base_slot + j
+            leaf, action, pnodes, pacts, plen = select_walk(
+                packed, layout, cfg.cpuct, cfg.depth_limit,
+                interpret=interpret)
+            expanding = action >= 0
+            safe_action = jnp.maximum(action, 0)
+            parent_state = jax.tree_util.tree_map(
+                lambda x: jax.vmap(lambda xb, i: xb[i])(x, leaf), states)
+            child_state = jax.vmap(env.step)(parent_state, safe_action)
+            write_state = jax.tree_util.tree_map(
+                lambda c, p: jnp.where(
+                    expanding.reshape((-1,) + (1,) * (c.ndim - 1)), c, p),
+                child_state, parent_state)
+            states = jax.tree_util.tree_map(
+                lambda st, ws: jax.vmap(
+                    lambda stb, wsb: jax.lax.dynamic_update_index_in_dim(
+                        stb, wsb, slot, 0)
+                )(st, ws),
+                states, write_state)
+            legal = jax.vmap(env.legal_mask)(write_state).astype(jnp.float32)
+            n_legal = jnp.maximum(jnp.sum(legal, axis=-1, keepdims=True), 1.0)
+            placeholder = jnp.where(legal > 0, legal / n_legal, -1.0)
+            packed = backup_paths(
+                packed, pnodes, pacts, plen,
+                jnp.zeros((batch,), jnp.float32),
+                expanding.astype(jnp.int32), slot, layout,
+                signed_priors=placeholder, done=write_state.done,
+                interpret=interpret, mode="vl")
+            pend.append((pnodes, pacts, plen, expanding, slot,
+                         write_state, legal))
+
+        obs = jnp.concatenate(
+            [jax.vmap(env.encode)(ws) for *_, ws, _ in pend], axis=0)
+        probs, values = eval_fn(net_params, obs)
+        probs = probs.reshape(k, batch, a)
+        values = values.reshape(k, batch)
+
+        for j, (pnodes, pacts, plen, expanding, slot,
+                write_state, legal) in enumerate(pend):
+            leaf_value = jnp.where(
+                write_state.done,
+                jax.vmap(lambda st: terminal_leaf_value(env, cfg, st))(
+                    write_state),
+                values[j],
+            ).astype(jnp.float32)
+            packed = backup_paths(
+                packed, pnodes, pacts, plen, leaf_value,
+                expanding.astype(jnp.int32), slot, layout,
+                signed_priors=jax.vmap(_signed_priors)(
+                    probs[j], legal.astype(probs.dtype)),
+                done=write_state.done, interpret=interpret,
+                mode="finalize")
+        return (packed, states), None
+
+    if cfg.leaves_per_sim == 1:
+        (packed, _), _ = jax.lax.scan(
+            one_sim, (packed, states),
+            jnp.arange(cfg.n_simulations, dtype=jnp.int32),
+        )
+    else:
+        (packed, _), _ = jax.lax.scan(
+            one_macro, (packed, states),
+            jnp.arange(cfg.n_simulations // cfg.leaves_per_sim,
+                       dtype=jnp.int32),
+        )
 
     # --- visit-count policy + root value (as tree.run_mcts_with_q) -------
     counts = packed[:, 0, 0:a]

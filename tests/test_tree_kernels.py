@@ -67,6 +67,34 @@ def test_packed_matches_xla_gomoku(plies, noise):
     assert np.isfinite(pi_p).all()
 
 
+@pytest.mark.parametrize("k", [2, 4])
+def test_packed_matches_xla_kleaf(k):
+    """k-leaves-per-sim virtual-loss search: packed backend (vl/finalize
+    kernel modes) must equal the XLA k-leaf path bit-for-bit."""
+    env = GomokuEnv(SIZE)
+    cfg = MCTSConfig(n_simulations=24, cpuct=1.25, add_noise=False,
+                     leaves_per_sim=k)
+    states = random_states(env, 4, 6, seed=31 + k)
+    pi_x, q_x, pi_p, q_p = both_backends(env, cfg, states, move_no=6,
+                                         key=jax.random.PRNGKey(k))
+    np.testing.assert_array_equal(pi_x, pi_p)
+    np.testing.assert_array_equal(q_x, q_p)
+
+
+def test_packed_matches_xla_kleaf_near_terminal():
+    """k-leaf with terminal stops in the batch window (orphan slots +
+    virtual-loss cancellation on terminal paths)."""
+    env = GomokuEnv(SIZE)
+    cfg = MCTSConfig(n_simulations=16, cpuct=1.25, add_noise=False,
+                     leaves_per_sim=4)
+    # drive games close to the end so terminals appear inside the search
+    states = random_states(env, 4, 30, seed=9)
+    pi_x, q_x, pi_p, q_p = both_backends(env, cfg, states, move_no=30,
+                                         key=jax.random.PRNGKey(5))
+    np.testing.assert_array_equal(pi_x, pi_p)
+    np.testing.assert_array_equal(q_x, q_p)
+
+
 def test_packed_matches_xla_depth_capped():
     env = GomokuEnv(SIZE)
     cfg = MCTSConfig(n_simulations=32, cpuct=1.25, add_noise=False,
