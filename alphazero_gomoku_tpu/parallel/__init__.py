@@ -3,6 +3,7 @@
 from alphazero_gomoku_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     make_sharded_arena,
+    make_sharded_gather_epoch,
     make_sharded_selfplay,
     make_sharded_train_epoch,
 )

@@ -125,6 +125,53 @@ def make_sharded_arena(env, cfg, eval_fn, mesh: Mesh, axis: str = "data"):
     return fn
 
 
+def make_sharded_gather_epoch(net_cfg, tx, mesh: Mesh, axis: str = "data",
+                              value_loss_weight: float = 1.0):
+    """Gradient-data-parallel epoch over DEVICE-RESIDENT ring arrays.
+
+    The mesh analogue of ``loop.train_epoch_gather_fn`` (the
+    DeviceBufferMirror path): the replay ring stays replicated in HBM
+    (~430 MB at the production capacity — it fits every chip easily) and
+    only the [n_batches, batch] i32 index array crosses the link each
+    epoch, sharded over the mesh on the batch axis so each chip gathers
+    and trains on its batch slice; XLA inserts the gradient all-reduce.
+    Replaces shipping steps*batch pre-sampled samples (~1 GB/iteration)
+    through the host link, which made the sharded train phase link-bound.
+
+    Returns ``fn(params, batch_stats, opt_state, states, pis, zs, idx)``;
+    the ring arrays must already carry the mesh's replicated sharding
+    (DeviceBufferMirror(sharding=...)), otherwise every call re-broadcasts
+    them.
+    """
+    repl = NamedSharding(mesh, P())
+    idx_shard = NamedSharding(mesh, P(None, axis))
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(repl, repl, repl, repl, repl, repl, idx_shard),
+        out_shardings=repl,
+    )
+    def epoch_fn(params, batch_stats, opt_state, dev_states, dev_pis,
+                 dev_zs, idx):
+        def step(carry, ib):
+            params, stats, opt = carry
+            x = dev_states[ib]
+            pi = dev_pis[ib]
+            z = dev_zs[ib].reshape(-1, 1)
+            params, stats, opt, metrics = train_step_fn(
+                net_cfg, tx, params, stats, opt, x, pi, z, value_loss_weight
+            )
+            return (params, stats, opt), metrics
+
+        (params, batch_stats, opt_state), metrics = jax.lax.scan(
+            step, (params, batch_stats, opt_state), idx
+        )
+        last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
+        return params, batch_stats, opt_state, last
+
+    return epoch_fn
+
+
 def make_sharded_train_epoch(net_cfg, tx, mesh: Mesh, axis: str = "data",
                              value_loss_weight: float = 1.0):
     """Gradient-data-parallel epoch: batches shard over chips, psum by XLA.

@@ -150,28 +150,45 @@ class DeviceBufferMirror:
     stream (tests/test_device_buffer.py).
     """
 
-    def __init__(self, buffer: ReplayBuffer):
+    def __init__(self, buffer: ReplayBuffer, sharding=None):
+        """``sharding`` (e.g. a replicated NamedSharding over a mesh) pins
+        the ring arrays' placement so the sharded gather epoch does not
+        re-broadcast them on every call; None = default single device."""
+        import jax
         import jax.numpy as jnp
 
         self.capacity = buffer.capacity
+        self.sharding = sharding
+
+        def place(x):
+            arr = jnp.asarray(x)
+            return jax.device_put(arr, sharding) if sharding is not None \
+                else arr
+
         if len(buffer):
             # resume case: seed from the loaded host buffer (one-time ship)
-            self.states = jnp.asarray(buffer.states)
-            self.pis = jnp.asarray(buffer.pis)
-            self.zs = jnp.asarray(buffer.zs)
+            self.states = place(buffer.states)
+            self.pis = place(buffer.pis)
+            self.zs = place(buffer.zs)
         else:
-            self.states = jnp.zeros_like(buffer.states)
-            self.pis = jnp.zeros_like(buffer.pis)
-            self.zs = jnp.zeros_like(buffer.zs)
+            self.states = place(np.zeros_like(buffer.states))
+            self.pis = place(np.zeros_like(buffer.pis))
+            self.zs = place(np.zeros_like(buffer.zs))
 
     def sync(self, states: np.ndarray, pis: np.ndarray, zs: np.ndarray,
              positions: np.ndarray) -> None:
         """Write this iteration's new samples at their ring positions."""
         if len(positions) == 0:
             return
+        import jax
         import jax.numpy as jnp
 
-        pos = jnp.asarray(positions)
-        self.states = self.states.at[pos].set(jnp.asarray(states))
-        self.pis = self.pis.at[pos].set(jnp.asarray(pis))
-        self.zs = self.zs.at[pos].set(jnp.asarray(zs, self.zs.dtype))
+        def put(x, dtype=None):
+            arr = jnp.asarray(x, dtype)
+            return jax.device_put(arr, self.sharding) \
+                if self.sharding is not None else arr
+
+        pos = put(positions)
+        self.states = self.states.at[pos].set(put(states))
+        self.pis = self.pis.at[pos].set(put(pis))
+        self.zs = self.zs.at[pos].set(put(zs, self.zs.dtype))

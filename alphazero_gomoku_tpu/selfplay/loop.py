@@ -312,7 +312,6 @@ def train_alphazero(
                         else 1),
     )
     arena_half_fn = None
-    sharded_epoch_fn = None
     if selfplay_mode == "continuous":
         if mesh is not None:
             log("[mesh] continuous self-play mode is single-device only; "
@@ -334,13 +333,20 @@ def train_alphazero(
         collect = collect_examples
     else:
         raise ValueError(f"unknown selfplay_mode: {selfplay_mode!r}")
+    sharded_gather_fn = None
     if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
         from alphazero_gomoku_tpu.parallel import (
-            make_sharded_arena, make_sharded_train_epoch,
+            make_sharded_arena, make_sharded_gather_epoch,
         )
         arena_half_fn = make_sharded_arena(env, arena_cfg, eval_fn, mesh)
         if batch_size % mesh.devices.size == 0:
-            sharded_epoch_fn = make_sharded_train_epoch(
+            # device-resident ring + sharded gather epoch: replay arrays
+            # stay replicated in HBM; only the [steps, batch] index array
+            # is shipped and sharded per iteration
+            dev_mirror = DeviceBufferMirror(
+                buffer, sharding=NamedSharding(mesh, PartitionSpec()))
+            sharded_gather_fn = make_sharded_gather_epoch(
                 model_candidate.cfg, model_candidate.tx, mesh,
                 value_loss_weight=value_loss_weight,
             )
@@ -376,7 +382,8 @@ def train_alphazero(
         written = buffer.add(states, pis, zs)
         if dev_mirror is not None:
             if len(written) == buffer.capacity:
-                dev_mirror = DeviceBufferMirror(buffer)  # full overwrite
+                dev_mirror = DeviceBufferMirror(   # full overwrite
+                    buffer, sharding=dev_mirror.sharding)
             else:
                 dev_mirror.sync(states, pis, zs, written)
         if selfplay_mode == "continuous":
@@ -402,18 +409,23 @@ def train_alphazero(
                     f"steps/epoch={n_batches}")
                 for epoch in range(epochs_per_iter):
                     t1 = time.time()
-                    if sharded_epoch_fn is not None:
-                        xs, ps, zb = buffer.sample_many(n_batches, batch_size,
-                                                        rng_np)
+                    if sharded_gather_fn is not None:
+                        # mesh path: replicated device ring + sharded
+                        # per-step batch gather; only idx crosses the link
+                        idx = np.stack([
+                            rng_np.choice(len(buffer), size=batch_size,
+                                          replace=False)
+                            for _ in range(n_batches)
+                        ]).astype(np.int32)
                         (model_candidate.params,
                          model_candidate.batch_stats,
                          model_candidate.opt_state,
-                         metrics) = sharded_epoch_fn(
+                         metrics) = sharded_gather_fn(
                             model_candidate.params,
                             model_candidate.batch_stats,
                             model_candidate.opt_state,
-                            jnp.asarray(xs), jnp.asarray(ps),
-                            jnp.asarray(zb))
+                            dev_mirror.states, dev_mirror.pis,
+                            dev_mirror.zs, jnp.asarray(idx))
                     elif dev_mirror is not None:
                         # same RNG draws as buffer.sample_many — only the
                         # [steps, batch] index array crosses the link

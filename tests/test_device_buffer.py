@@ -84,6 +84,57 @@ def test_gather_epoch_matches_host_epoch():
                                       np.asarray(met2[k]))
 
 
+def test_sharded_gather_epoch_matches_single_device():
+    """Mesh gather epoch (replicated ring + sharded idx) == single-device
+    gather epoch bit-for-bit on the virtual 8-device CPU mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec
+    from alphazero_gomoku_tpu.parallel import (
+        make_mesh,
+        make_sharded_gather_epoch,
+    )
+
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    rng = np.random.default_rng(11)
+    buf = ReplayBuffer(capacity=256, board_size=SIZE)
+    s, p, z = _samples(rng, 220)
+    buf.add(s, p, z)
+    mirror = DeviceBufferMirror(
+        buf, sharding=NamedSharding(mesh, PartitionSpec()))
+    # sync after placement keeps the sharding
+    s2, p2, z2 = _samples(rng, 30)
+    written = buf.add(s2, p2, z2)
+    mirror.sync(s2, p2, z2, written)
+    np.testing.assert_array_equal(np.asarray(mirror.states), buf.states)
+
+    n_batches, batch = 4, 16  # 16 % 8 == 0 -> 2 samples per chip per step
+    idx = np.stack([np.random.default_rng(23 + i).choice(
+        len(buf), size=batch, replace=False)
+        for i in range(n_batches)]).astype(np.int32)
+
+    m1 = AZModel(board_size=SIZE, n_res_blocks=1, channels=8, seed=5)
+    m2 = AZModel(board_size=SIZE, n_res_blocks=1, channels=8, seed=5)
+
+    p1, bs1, o1, met1 = train_epoch_gather_fn(
+        m1.cfg, m1.tx, m1.params, m1.batch_stats, m1.opt_state,
+        jnp.asarray(buf.states), jnp.asarray(buf.pis),
+        jnp.asarray(buf.zs), jnp.asarray(idx), 1.0)
+    fn = make_sharded_gather_epoch(m2.cfg, m2.tx, mesh)
+    p2_, bs2, o2, met2 = fn(
+        m2.params, m2.batch_stats, m2.opt_state,
+        mirror.states, mirror.pis, mirror.zs, jnp.asarray(idx))
+
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=1e-6), p1, p2_)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=1e-6), bs1, bs2)
+    for k in met1:
+        np.testing.assert_allclose(np.asarray(met1[k]),
+                                   np.asarray(met2[k]), rtol=1e-5)
+
+
 def test_train_loop_uses_mirror_end_to_end(tmp_path):
     """Smoke: the single-device training loop runs with the mirror path
     (mesh=None) and produces a loadable checkpoint."""
