@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--weight-decay", type=float, default=1e-4)
     ap.add_argument("--model-dir", default="models")
     ap.add_argument("--save-every", type=int, default=1)
+    ap.add_argument("--buffer-save-every", type=int, default=1,
+                    help="persist the replay buffer every N iterations "
+                         "(1 = reference parity; ~11 s/save at the 120k "
+                         "production ring — raise for long runs)")
     ap.add_argument("--pretrained-model-path", default=None)
     ap.add_argument("--next-iteration-continuation", type=int, default=1)
     ap.add_argument("--seed", type=int, default=0)
@@ -116,6 +120,7 @@ def main(argv=None):
         cpuct=args.cpuct,
         model_dir=args.model_dir,
         save_every=args.save_every,
+        buffer_save_every=args.buffer_save_every,
         pretrained_model_path=args.pretrained_model_path,
         next_iteration_continuation=args.next_iteration_continuation,
         dirichlet_alpha=args.dirichlet_alpha,

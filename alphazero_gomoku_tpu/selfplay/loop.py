@@ -137,6 +137,13 @@ def train_alphazero(
     cpuct: float = 1.2,
     model_dir: str = "models",
     save_every: int = 1,
+    # buffer persistence cadence. 1 = reference parity (train.py:836-837
+    # pickles every iteration). At production sizes savez_compressed of a
+    # 120k-sample ring costs ~11 s/iteration — the LARGEST phase of the
+    # run-5 strength run (selfplay 9.2 s, train 2.4 s) — so long runs
+    # should raise this; a crash loses at most the last N iterations of
+    # samples, never the model.
+    buffer_save_every: int = 1,
     pretrained_model_path: Optional[str] = None,
     next_iteration_continuation: int = 1,
     # --- MCTS Dirichlet noise ---
@@ -513,7 +520,8 @@ def train_alphazero(
                 # stable alias used by the player plugins' default model_path
                 model_best.save(os.path.join(model_dir, "best_latest.ckpt"))
                 log(f" saved snapshot: {snapshot_path}")
-            save_replay_buffer(buffer, buffer_path)
+            if it % buffer_save_every == 0 or it == end_iter - 1:
+                save_replay_buffer(buffer, buffer_path)
         if it == trace_iter:
             stop_profiler_trace()
             log(f"[profiler] trace written to {profile_trace_dir}")
