@@ -1,6 +1,7 @@
 """Device-mesh parallelism: sharded self-play and psum-gradient training."""
 
 from alphazero_gomoku_tpu.parallel.mesh import (  # noqa: F401
+    gather_trajectories,
     make_mesh,
     make_sharded_arena,
     make_sharded_gather_epoch,

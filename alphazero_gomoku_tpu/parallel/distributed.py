@@ -15,12 +15,15 @@ replacement's growth path.  Design note: everything in
 multi-host adds no new communication patterns — the gradient ``psum``
 simply spans more chips.
 
-Known limitation (deliberate scope): the trainer's host-side phases
-(trajectory collection into the replay buffer, checkpoint writes) assume
-the trajectory arrays are process-addressable.  Across hosts that requires
-an all-gather of each host's trajectory shard (or per-host buffers with a
-sharded sample step) — tracked in ROADMAP.md; the compute phases
-(self-play, train step, arena) are multi-host-clean as-is.
+Host-side phases are multi-host-clean too: after sharded self-play the
+trainer all-gathers the trajectory shards (``mesh.gather_trajectories``
+— a jitted identity resharded to replicated, i.e. one ICI/DCN
+all-gather) so every process runs the identical replay-buffer collection,
+and artifact writes (snapshots, buffer persistence) are gated on
+``jax.process_index() == 0``.  Every process holds identical model/buffer
+state, so the primary's artifacts fully describe the run
+(tests/test_multiprocess.py runs the loop under a real 2-process CPU
+``jax.distributed`` runtime and checks cross-process parity).
 
 Usage (one process per host, e.g. under ``gcloud compute tpus tpu-vm ssh
 --worker=all``)::

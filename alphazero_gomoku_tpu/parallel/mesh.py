@@ -125,6 +125,25 @@ def make_sharded_arena(env, cfg, eval_fn, mesh: Mesh, axis: str = "data"):
     return fn
 
 
+def gather_trajectories(traj, mesh: Mesh):
+    """Reshard a mesh-sharded :class:`Trajectories` pytree to fully
+    replicated, making every leaf process-addressable on every host.
+
+    This is the multi-host collection path (the TPU-native replacement for
+    the reference's worker->master pickle returns,
+    ``/root/reference/train.py:737-742``): after sharded self-play each
+    host holds only its local game shard; a jitted identity with
+    replicated output shardings lowers to an all-gather over ICI/DCN, and
+    ``np.asarray`` on the result works on every process so the host-side
+    replay-buffer collection (``collect_examples``) is unchanged.  On a
+    single-host mesh the same program is a cheap local reshard — the
+    trainer always routes through it so the multi-host path is exercised
+    by every mesh run (incl. ``dryrun_multichip``).
+    """
+    repl = NamedSharding(mesh, P())
+    return jax.jit(lambda t: t, out_shardings=repl)(traj)
+
+
 def make_sharded_gather_epoch(net_cfg, tx, mesh: Mesh, axis: str = "data",
                               value_loss_weight: float = 1.0):
     """Gradient-data-parallel epoch over DEVICE-RESIDENT ring arrays.

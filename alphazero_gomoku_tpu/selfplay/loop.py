@@ -381,6 +381,15 @@ def train_alphazero(
         with timer.phase("selfplay"), trace_annotation("selfplay"):
             traj = selfplay_jit(search_bundle(model_candidate),
                                 jax.random.PRNGKey(seed * 100003 + it))
+            if mesh is not None and selfplay_mode != "continuous":
+                # multi-host collection: all-gather the trajectory shards
+                # so every process can run host-side collection (on one
+                # host this is a cheap local reshard — always on, so the
+                # multi-host path is exercised by every mesh run)
+                from alphazero_gomoku_tpu.parallel import (
+                    gather_trajectories,
+                )
+                traj = gather_trajectories(traj, mesh)
             states, pis, zs, winners = collect(
                 traj, use_symmetries=use_symmetries,
                 value_target_mix=value_target_mix,
@@ -509,9 +518,12 @@ def train_alphazero(
             model_candidate.copy_weights_from(model_best)
 
         # ---- phase 5: snapshot + persist buffer ----------------------
+        # multi-host: only the primary writes artifacts (every process
+        # holds identical state, so one writer fully describes the run)
+        primary = jax.process_index() == 0
         snapshot_path = None
         with timer.phase("checkpoint"):
-            if it % save_every == 0:
+            if primary and it % save_every == 0:
                 ts = datetime.now().strftime("%Y%m%d_%H%M%S")
                 snapshot_path = os.path.join(
                     model_dir, f"snapshot_iter{it}_{ts}.ckpt"
@@ -520,7 +532,8 @@ def train_alphazero(
                 # stable alias used by the player plugins' default model_path
                 model_best.save(os.path.join(model_dir, "best_latest.ckpt"))
                 log(f" saved snapshot: {snapshot_path}")
-            if it % buffer_save_every == 0 or it == end_iter - 1:
+            if primary and (it % buffer_save_every == 0
+                            or it == end_iter - 1):
                 save_replay_buffer(buffer, buffer_path)
         if it == trace_iter:
             stop_profiler_trace()
