@@ -60,6 +60,7 @@ def test_host_encoder_matches_device():
     np.testing.assert_allclose(enc_host.transpose(1, 2, 0), enc_dev)
 
 
+@pytest.mark.slow
 def test_collect_examples_capture_planes():
     from alphazero_gomoku_tpu.search import MCTSConfig
     from alphazero_gomoku_tpu.selfplay import SelfPlayConfig, collect_examples
@@ -90,6 +91,7 @@ def test_collect_examples_capture_planes():
     np.testing.assert_allclose(vals, np.round(vals), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_trainer_and_player_round_trip(tmp_path):
     from alphazero_gomoku_tpu.models import AZModel
     from alphazero_gomoku_tpu.selfplay import train_alphazero

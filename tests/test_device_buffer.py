@@ -8,6 +8,7 @@ the host-batch epoch and the device-gather epoch on the same RNG draws.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -47,6 +48,7 @@ def test_mirror_tracks_ring_through_wraparound():
     np.testing.assert_array_equal(np.asarray(mirror.zs), buf.zs)
 
 
+@pytest.mark.slow
 def test_gather_epoch_matches_host_epoch():
     rng = np.random.default_rng(1)
     buf = ReplayBuffer(capacity=256, board_size=SIZE)
@@ -84,6 +86,7 @@ def test_gather_epoch_matches_host_epoch():
                                       np.asarray(met2[k]))
 
 
+@pytest.mark.slow
 def test_sharded_gather_epoch_matches_single_device():
     """Mesh gather epoch (replicated ring + sharded idx) == single-device
     gather epoch bit-for-bit on the virtual 8-device CPU mesh."""
@@ -135,6 +138,7 @@ def test_sharded_gather_epoch_matches_single_device():
                                    np.asarray(met2[k]), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_train_loop_uses_mirror_end_to_end(tmp_path):
     """Smoke: the single-device training loop runs with the mirror path
     (mesh=None) and produces a loadable checkpoint."""

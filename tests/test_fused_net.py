@@ -44,6 +44,7 @@ def rand_obs(cfg, b=16, seed=3):
     return jnp.asarray(obs)
 
 
+@pytest.mark.slow
 def test_fold_bn_matches_eval_forward():
     cfg, params, stats = make_net()
     obs = rand_obs(cfg)
@@ -70,6 +71,7 @@ def test_fused_kernel_matches_folded_reference_interpret():
                                atol=0.02)
 
 
+@pytest.mark.slow
 def test_fused_kernel_bf16_close_to_f32_net():
     cfg, params, stats = make_net(board=9, blocks=1, channels=32)
     cfg = NetConfig(board_size=9, action_size=81, n_res_blocks=1, channels=32)
@@ -121,6 +123,7 @@ def test_folded_xla_bf16_close_to_f32_net():
     assert probs.dtype == jnp.float32 and v.dtype == jnp.float32
 
 
+@pytest.mark.slow
 def test_trainer_accepts_bf16_inference(tmp_path):
     # one tiny end-to-end iteration through the bf16 search forward
     from alphazero_gomoku_tpu.selfplay import train_alphazero

@@ -215,6 +215,7 @@ def test_optimizer_step_matches_torch(pair):
         tnet.pf.bias.detach().numpy())
 
 
+@pytest.mark.slow
 def test_model_wrapper_roundtrip(tmp_path):
     m = AZModel(board_size=BOARD, n_res_blocks=2, channels=16, seed=3)
     x = np.random.default_rng(0).random((4, 3, BOARD, BOARD)).astype(np.float32)

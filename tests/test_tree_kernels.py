@@ -132,6 +132,7 @@ def test_packed_matches_xla_near_terminal():
     assert int(np.argmax(pi_p[1])) == 3 * SIZE + 4
 
 
+@pytest.mark.slow
 def test_packed_matches_xla_pente():
     env = PenteEnv(SIZE)
     cfg = MCTSConfig(n_simulations=16, cpuct=1.25, add_noise=True,
