@@ -538,27 +538,42 @@ def run_mcts_with_q(
         return trees, None
 
     def one_macro(trees, step_idx):
-        """k virtual-loss selects, ONE [k*B] network call, k finalizes."""
+        """k virtual-loss selects, ONE [k*B] network call, k finalizes.
+
+        The j loops are ``lax.scan``s, not Python-unrolled: at production
+        shapes an unrolled k=2 macro body blew the remote-compile budget
+        (>15 min) while the scanned form compiles like the k=1 program.
+        """
         base_slot = step_idx * k + 1
-        leaves, legals = [], []
-        for j in range(k):
+
+        def select_j(trees, j):
             trees, leaf, legal = jax.vmap(
                 lambda t: _select_expand_vl(env, cfg, t, base_slot + j)
             )(trees)
-            leaves.append(leaf)
-            legals.append(legal)
-        obs = jnp.concatenate([
-            jax.vmap(lambda t, l: env.encode(_node_state(t, l)))(trees, lv)
-            for lv in leaves
-        ], axis=0)
+            return trees, (leaf, legal)
+
+        trees, (leaves, legals) = jax.lax.scan(
+            select_j, trees, jnp.arange(k, dtype=jnp.int32))
+
+        obs = jax.vmap(lambda leaf_row: jax.vmap(
+            lambda t, l: env.encode(_node_state(t, l)))(trees, leaf_row)
+        )(leaves)
+        obs = obs.reshape((k * batch,) + obs.shape[2:])
         probs, values = eval_fn(net_params, obs)
         probs = probs.reshape(k, batch, a)
         values = values.reshape(k, batch)
-        for j in range(k):
+
+        def finalize_j(trees, xs):
+            j, leaf, p, v, legal = xs
             trees = jax.vmap(
-                lambda t, l, p, v, cl: _finalize_leaf(
-                    env, cfg, t, l, base_slot + j, p, v, cl)
-            )(trees, leaves[j], probs[j], values[j], legals[j])
+                lambda t, l, pp, vv, cl: _finalize_leaf(
+                    env, cfg, t, l, base_slot + j, pp, vv, cl)
+            )(trees, leaf, p, v, legal)
+            return trees, None
+
+        trees, _ = jax.lax.scan(
+            finalize_j, trees,
+            (jnp.arange(k, dtype=jnp.int32), leaves, probs, values, legals))
         return trees, None
 
     if k == 1:

@@ -161,12 +161,16 @@ def run_mcts_packed(
         """k-leaves-per-sim (cfg.leaves_per_sim > 1): k select+virtual-loss
         passes, ONE [k*B] network call, k finalize passes — the packed
         mirror of tree.one_macro (same op order, bit-identical results;
-        see ops/tree_kernels.backup_paths modes)."""
+        see ops/tree_kernels.backup_paths modes).  The j loops are
+        ``lax.scan``s to keep the compiled program k-independent (an
+        unrolled macro body blew the remote-compile budget at k=2,
+        batch 128)."""
         packed, states = carry
         k = cfg.leaves_per_sim
         base_slot = step_idx * k + 1
-        pend = []
-        for j in range(k):
+
+        def select_j(carry, j):
+            packed, states = carry
             slot = base_slot + j
             leaf, action, pnodes, pacts, plen = select_walk(
                 packed, layout, cfg.cpuct, cfg.depth_limit,
@@ -187,7 +191,8 @@ def run_mcts_packed(
                 )(st, ws),
                 states, write_state)
             legal = jax.vmap(env.legal_mask)(write_state).astype(jnp.float32)
-            n_legal = jnp.maximum(jnp.sum(legal, axis=-1, keepdims=True), 1.0)
+            n_legal = jnp.maximum(
+                jnp.sum(legal, axis=-1, keepdims=True), 1.0)
             placeholder = jnp.where(legal > 0, legal / n_legal, -1.0)
             packed = backup_paths(
                 packed, pnodes, pacts, plen,
@@ -195,30 +200,41 @@ def run_mcts_packed(
                 expanding.astype(jnp.int32), slot, layout,
                 signed_priors=placeholder, done=write_state.done,
                 interpret=interpret, mode="vl")
-            pend.append((pnodes, pacts, plen, expanding, slot,
-                         write_state, legal))
+            return (packed, states), (pnodes, pacts, plen, expanding,
+                                      write_state, legal)
 
-        obs = jnp.concatenate(
-            [jax.vmap(env.encode)(ws) for *_, ws, _ in pend], axis=0)
+        (packed, states), (pnodes_k, pacts_k, plen_k, expanding_k,
+                           write_state_k, legal_k) = jax.lax.scan(
+            select_j, (packed, states), jnp.arange(k, dtype=jnp.int32))
+
+        obs = jax.vmap(lambda ws: jax.vmap(env.encode)(ws))(write_state_k)
+        obs = obs.reshape((k * batch,) + obs.shape[2:])
         probs, values = eval_fn(net_params, obs)
         probs = probs.reshape(k, batch, a)
         values = values.reshape(k, batch)
 
-        for j, (pnodes, pacts, plen, expanding, slot,
-                write_state, legal) in enumerate(pend):
+        def finalize_j(packed, xs):
+            (j, pnodes, pacts, plen, expanding, write_state, legal,
+             probs_j, values_j) = xs
             leaf_value = jnp.where(
                 write_state.done,
                 jax.vmap(lambda st: terminal_leaf_value(env, cfg, st))(
                     write_state),
-                values[j],
+                values_j,
             ).astype(jnp.float32)
             packed = backup_paths(
                 packed, pnodes, pacts, plen, leaf_value,
-                expanding.astype(jnp.int32), slot, layout,
+                expanding.astype(jnp.int32), base_slot + j, layout,
                 signed_priors=jax.vmap(_signed_priors)(
-                    probs[j], legal.astype(probs.dtype)),
+                    probs_j, legal.astype(probs_j.dtype)),
                 done=write_state.done, interpret=interpret,
                 mode="finalize")
+            return packed, None
+
+        packed, _ = jax.lax.scan(
+            finalize_j, packed,
+            (jnp.arange(k, dtype=jnp.int32), pnodes_k, pacts_k, plen_k,
+             expanding_k, write_state_k, legal_k, probs, values))
         return (packed, states), None
 
     if cfg.leaves_per_sim == 1:
