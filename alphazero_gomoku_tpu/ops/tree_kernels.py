@@ -47,6 +47,23 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9
 GROUP = 8  # f32 sublane tile: DMA slices must move whole 8-row groups
 
+# lanes processed per grid step: the kernels' VMEM scratch is
+# [tile, GROUP, row] (~4.7 MB at the production row width) and the scoped
+# VMEM limit is 16 MB, so one step cannot hold much more than ~128 lanes
+# of group buffers — larger game batches run as a sequential lane-tile
+# grid (lanes are independent; results are identical).
+LANE_TILE = 128
+
+
+def _lane_tiling(b: int):
+    """(tile, n_tiles) for a batch of ``b`` independent lanes."""
+    if b > LANE_TILE:
+        if b % LANE_TILE:
+            raise ValueError(
+                f"batch {b} > {LANE_TILE} must be a multiple of {LANE_TILE}")
+        return LANE_TILE, b // LANE_TILE
+    return b, 1
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -103,12 +120,14 @@ def _select_kernel(layout: PackedLayout, cpuct: float, depth_limit: int,
     pnodes_ref[:] = jnp.zeros_like(pnodes_ref)
     pacts_ref[:] = jnp.zeros_like(pacts_ref)
 
+    lane0 = pl.program_id(0) * b  # absolute lane of this tile's first row
+
     def fetch_groups():
         def start(i, _):
             g = (nodes_vmem[i, 0] // GROUP) * GROUP
             pltpu.make_async_copy(
-                packed_hbm.at[i, pl.ds(g, GROUP), :], rows_vmem.at[i],
-                sems.at[i],
+                packed_hbm.at[lane0 + i, pl.ds(g, GROUP), :],
+                rows_vmem.at[i], sems.at[i],
             ).start()
             return 0
         jax.lax.fori_loop(0, b, start, 0)
@@ -116,8 +135,8 @@ def _select_kernel(layout: PackedLayout, cpuct: float, depth_limit: int,
         def wait(i, _):
             g = (nodes_vmem[i, 0] // GROUP) * GROUP
             pltpu.make_async_copy(
-                packed_hbm.at[i, pl.ds(g, GROUP), :], rows_vmem.at[i],
-                sems.at[i],
+                packed_hbm.at[lane0 + i, pl.ds(g, GROUP), :],
+                rows_vmem.at[i], sems.at[i],
             ).wait()
             return 0
         jax.lax.fori_loop(0, b, wait, 0)
@@ -210,16 +229,23 @@ def select_walk(packed: jax.Array, layout: PackedLayout, cpuct: float,
     """
     b = packed.shape[0]
     d = depth_limit
+    tile, n_tiles = _lane_tiling(b)
     kernel = functools.partial(_select_kernel, layout, cpuct, depth_limit)
     out = pl.pallas_call(
         kernel,
+        grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, tile), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, tile), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, 1), jnp.int32),   # leaf
@@ -229,10 +255,10 @@ def select_walk(packed: jax.Array, layout: PackedLayout, cpuct: float,
             jax.ShapeDtypeStruct((b, 1), jnp.int32),   # path len
         ),
         scratch_shapes=[
-            pltpu.VMEM((b, GROUP, layout.row), jnp.float32),
-            pltpu.VMEM((b, 1), jnp.int32),
-            pltpu.VMEM((b, 1), jnp.int32),
-            pltpu.SemaphoreType.DMA((b,)),
+            pltpu.VMEM((tile, GROUP, layout.row), jnp.float32),
+            pltpu.VMEM((tile, 1), jnp.int32),
+            pltpu.VMEM((tile, 1), jnp.int32),
+            pltpu.SemaphoreType.DMA((tile,)),
         ],
         interpret=interpret,
     )(packed)
@@ -258,6 +284,7 @@ def _backup_kernel(layout: PackedLayout, mode: str,
     expanding = expanding_ref[:] == 1
     slot = slot_ref[0, 0]
     max_len = jnp.max(plen)
+    lane0 = pl.program_id(0) * b  # absolute lane of this tile's first row
 
     # ---- compose the fresh slot row in VMEM ---------------------------
     # Writing it here (instead of an XLA dynamic-update-slice in the scan
@@ -274,7 +301,7 @@ def _backup_kernel(layout: PackedLayout, mode: str,
 
     def cstart(k, _):
         pltpu.make_async_copy(
-            packed_out.at[k, pl.ds(sg, GROUP), :], rows_vmem.at[k],
+            packed_out.at[lane0 + k, pl.ds(sg, GROUP), :], rows_vmem.at[k],
             sems.at[k],
         ).start()
         return 0
@@ -282,7 +309,7 @@ def _backup_kernel(layout: PackedLayout, mode: str,
 
     def cwait(k, _):
         pltpu.make_async_copy(
-            packed_out.at[k, pl.ds(sg, GROUP), :], rows_vmem.at[k],
+            packed_out.at[lane0 + k, pl.ds(sg, GROUP), :], rows_vmem.at[k],
             sems.at[k],
         ).wait()
         return 0
@@ -307,7 +334,7 @@ def _backup_kernel(layout: PackedLayout, mode: str,
 
     def cwb_start(k, _):
         pltpu.make_async_copy(
-            rows_vmem.at[k], packed_out.at[k, pl.ds(sg, GROUP), :],
+            rows_vmem.at[k], packed_out.at[lane0 + k, pl.ds(sg, GROUP), :],
             sems.at[k],
         ).start()
         return 0
@@ -315,7 +342,7 @@ def _backup_kernel(layout: PackedLayout, mode: str,
 
     def cwb_wait(k, _):
         pltpu.make_async_copy(
-            rows_vmem.at[k], packed_out.at[k, pl.ds(sg, GROUP), :],
+            rows_vmem.at[k], packed_out.at[lane0 + k, pl.ds(sg, GROUP), :],
             sems.at[k],
         ).wait()
         return 0
@@ -335,7 +362,7 @@ def _backup_kernel(layout: PackedLayout, mode: str,
             nk = hopnodes_vmem[k, 0]
             g = (nk // GROUP) * GROUP
             pltpu.make_async_copy(
-                packed_out.at[k, pl.ds(g, GROUP), :], rows_vmem.at[k],
+                packed_out.at[lane0 + k, pl.ds(g, GROUP), :], rows_vmem.at[k],
                 sems.at[k],
             ).start()
             return 0
@@ -345,7 +372,7 @@ def _backup_kernel(layout: PackedLayout, mode: str,
             nk = hopnodes_vmem[k, 0]
             g = (nk // GROUP) * GROUP
             pltpu.make_async_copy(
-                packed_out.at[k, pl.ds(g, GROUP), :], rows_vmem.at[k],
+                packed_out.at[lane0 + k, pl.ds(g, GROUP), :], rows_vmem.at[k],
                 sems.at[k],
             ).wait()
             return 0
@@ -393,7 +420,7 @@ def _backup_kernel(layout: PackedLayout, mode: str,
             nk = hopnodes_vmem[k, 0]
             g = (nk // GROUP) * GROUP
             pltpu.make_async_copy(
-                rows_vmem.at[k], packed_out.at[k, pl.ds(g, GROUP), :],
+                rows_vmem.at[k], packed_out.at[lane0 + k, pl.ds(g, GROUP), :],
                 sems.at[k],
             ).start()
             return 0
@@ -403,7 +430,7 @@ def _backup_kernel(layout: PackedLayout, mode: str,
             nk = hopnodes_vmem[k, 0]
             g = (nk // GROUP) * GROUP
             pltpu.make_async_copy(
-                rows_vmem.at[k], packed_out.at[k, pl.ds(g, GROUP), :],
+                rows_vmem.at[k], packed_out.at[lane0 + k, pl.ds(g, GROUP), :],
                 sems.at[k],
             ).wait()
             return 0
@@ -442,26 +469,38 @@ def backup_paths(packed: jax.Array, path_nodes: jax.Array,
         (done/children writes are idempotent re-writes of the vl pass).
     """
     b = packed.shape[0]
+    tile, n_tiles = _lane_tiling(b)
+    d = path_nodes.shape[0]
+    a = signed_priors.shape[-1]
     kernel = functools.partial(_backup_kernel, layout, mode)
     return pl.pallas_call(
         kernel,
+        grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),    # packed (aliased)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # path nodes
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # path actions
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # path len
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # values
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # expanding
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # slot-row priors
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # slot-row done flag
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # slot
+            pl.BlockSpec((d, tile), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),   # path nodes
+            pl.BlockSpec((d, tile), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),   # path actions
+            pl.BlockSpec((tile, 1), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),   # path len
+            pl.BlockSpec((tile, 1), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),   # values
+            pl.BlockSpec((tile, 1), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),   # expanding
+            pl.BlockSpec((tile, a), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),   # slot-row priors
+            pl.BlockSpec((tile, 1), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),   # slot-row done flag
+            pl.BlockSpec((1, 1), lambda t: (0, 0),
+                         memory_space=pltpu.SMEM),   # slot
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         out_shape=jax.ShapeDtypeStruct(packed.shape, packed.dtype),
         scratch_shapes=[
-            pltpu.VMEM((b, GROUP, layout.row), jnp.float32),
-            pltpu.VMEM((b, 1), jnp.int32),
-            pltpu.SemaphoreType.DMA((b,)),
+            pltpu.VMEM((tile, GROUP, layout.row), jnp.float32),
+            pltpu.VMEM((tile, 1), jnp.int32),
+            pltpu.SemaphoreType.DMA((tile,)),
         ],
         input_output_aliases={0: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

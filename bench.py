@@ -35,7 +35,7 @@ import numpy as np
 BASELINE_MOVES_PER_SEC = 8.6  # reference CPU engine @ 400 sims (see header)
 
 
-def run_bench(batch_games: int = 64, n_simulations: int = 400,
+def run_bench(batch_games: int = 256, n_simulations: int = 400,
               board_size: int = 15, n_res_blocks: int = 6,
               channels: int = 128, warmup_moves: int = 8,
               measure_moves: int = 48, seed: int = 0,
@@ -151,7 +151,7 @@ def bench_pure_mcts(n_playout: int = 200, n_moves: int = 6,
     }
 
 
-def bench_training_iteration(games: int = 64, n_simulations: int = 400,
+def bench_training_iteration(games: int = 128, n_simulations: int = 400,
                              eval_games: int = 16) -> dict:
     """Config #5: one full training-loop iteration on-device.
 
@@ -159,8 +159,9 @@ def bench_training_iteration(games: int = 64, n_simulations: int = 400,
     gating arena.  Runs two iterations and reports the second (the first
     carries all compilation).  BASELINE.json's config #5 names 1024 games
     over a v5e-8 (128/chip); on the single available chip this runs the
-    per-chip 64-game slice that is inside the verified-stable envelope for
-    FULL games (128 full games hard-fault the worker — repro/README.md).
+    per-chip 128-game slice.  (The round-1 large-lockstep worker fault no
+    longer reproduces after the relayout fix — 128 full-length games run
+    clean, re-probed round 2; repro/ kept for regression checks.)
     """
     import tempfile
 
@@ -238,7 +239,7 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--all", action="store_true",
                     help="run all five BASELINE.json configs")
-    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--sims", type=int, default=400)
     ap.add_argument("--infer", default="f32",
                     choices=["f32", "bf16", "fused"])
