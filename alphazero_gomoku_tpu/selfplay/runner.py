@@ -389,16 +389,16 @@ def collect_examples_continuous(
     winners = np.asarray(rec.winners)
     t, b = ended.shape
 
-    # for each ply, the winner at the NEXT game boundary in its lane
-    win_fwd = np.zeros((t, b), np.int32)
-    has_end = np.zeros((t, b), bool)
-    nxt_w = np.zeros(b, np.int32)
-    nxt_has = np.zeros(b, bool)
-    for step in range(t - 1, -1, -1):
-        nxt_w = np.where(ended[step], winners[step], nxt_w)
-        nxt_has = ended[step] | nxt_has
-        win_fwd[step] = nxt_w
-        has_end[step] = nxt_has
+    # for each ply, the winner at the NEXT game boundary (inclusive) in its
+    # lane: suffix-minimum of boundary indices + one gather — fully
+    # vectorized (this was the last O(T) Python loop on the collection
+    # path)
+    idx = np.where(ended, np.arange(t, dtype=np.int64)[:, None], t)
+    nxt_idx = np.minimum.accumulate(idx[::-1], axis=0)[::-1]
+    has_end = nxt_idx < t
+    win_fwd = np.take_along_axis(
+        winners, np.minimum(nxt_idx, t - 1), axis=0).astype(np.int32)
+    win_fwd = np.where(has_end, win_fwd, 0)
 
     z = np.where(win_fwd == 0, 0.0,
                  np.where(win_fwd == players, 1.0, -1.0)).astype(np.float32)
