@@ -38,6 +38,12 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["xla", "pallas"],
                     help="tree-op implementation: XLA gather/scatter or "
                          "Pallas packed-row DMA kernels")
+    ap.add_argument("--mcts-fpu-mode", default="zero",
+                    choices=["zero", "parent"],
+                    help="first-play urgency for unvisited edges: 'zero' "
+                         "is reference-exact; 'parent' inherits the node "
+                         "mean (keeps search coherent when the value head "
+                         "is extreme; see MCTSConfig.fpu_mode)")
     ap.add_argument("--mcts-leaves-per-sim", type=int, default=1,
                     help="k leaves selected (with virtual loss) per "
                          "network call; 1 = reference-exact sequential "
@@ -129,6 +135,7 @@ def main(argv=None):
         mcts_max_depth=args.mcts_max_depth,
         mcts_backend=args.mcts_backend,
         mcts_leaves_per_sim=args.mcts_leaves_per_sim,
+        mcts_fpu_mode=args.mcts_fpu_mode,
         n_res_blocks=args.n_res_blocks,
         channels=args.channels,
         lr=args.lr,

@@ -104,6 +104,7 @@ def _select_group_row(group_rows, sub_idx, b):
 # select kernel
 # ----------------------------------------------------------------------
 def _select_kernel(layout: PackedLayout, cpuct: float, depth_limit: int,
+                   fpu_parent: bool,
                    packed_hbm,
                    leaf_ref, act_ref, pnodes_ref, pacts_ref, plen_ref,
                    rows_vmem, nodes_vmem, stopped_vmem, sems):
@@ -159,8 +160,16 @@ def _select_kernel(layout: PackedLayout, cpuct: float, depth_limit: int,
 
         # PUCT, formula-identical to tree._puct_scores (f32 throughout)
         pmax = jnp.maximum(p, 0.0)
-        sqrt_sum = jnp.sqrt(jnp.sum(n, axis=1, keepdims=True))
-        scores = w / (1.0 + n) + cpuct * pmax * sqrt_sum / (1.0 + n)
+        sum_n = jnp.sum(n, axis=1, keepdims=True)
+        if fpu_parent:  # first-play urgency (tree.MCTSConfig.fpu_mode):
+            # true-mean Q for visited edges + parent mean for unvisited
+            parent_q = jnp.sum(w, axis=1, keepdims=True) \
+                / jnp.maximum(sum_n, 1.0)
+            q = jnp.where(n > 0.0, w / jnp.maximum(n, 1.0), parent_q)
+        else:
+            q = w / (1.0 + n)
+        sqrt_sum = jnp.sqrt(sum_n)
+        scores = q + cpuct * pmax * sqrt_sum / (1.0 + n)
         scores = jnp.where(p >= 0.0, scores, NEG_INF)
         # lowest-index-of-max, order-independently: Mosaic's argmax does not
         # guarantee numpy's first-occurrence tie-breaking, and fresh nodes
@@ -214,9 +223,10 @@ def _select_kernel(layout: PackedLayout, cpuct: float, depth_limit: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("layout", "cpuct", "depth_limit",
-                                    "interpret"))
+                                    "interpret", "fpu_parent"))
 def select_walk(packed: jax.Array, layout: PackedLayout, cpuct: float,
-                depth_limit: int, interpret: bool = False):
+                depth_limit: int, interpret: bool = False,
+                fpu_parent: bool = False):
     """Lockstep PUCT select over B packed trees.
 
     Args:
@@ -230,7 +240,8 @@ def select_walk(packed: jax.Array, layout: PackedLayout, cpuct: float,
     b = packed.shape[0]
     d = depth_limit
     tile, n_tiles = _lane_tiling(b)
-    kernel = functools.partial(_select_kernel, layout, cpuct, depth_limit)
+    kernel = functools.partial(_select_kernel, layout, cpuct, depth_limit,
+                               fpu_parent)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),

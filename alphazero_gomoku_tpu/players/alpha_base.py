@@ -76,6 +76,16 @@ def _resolve_checkpoint(path: Optional[str], rules: str,
     return path
 
 
+class _BoardView:
+    """Minimal state shim for the pure-MCTS tactical scans."""
+
+    def __init__(self, board: np.ndarray, captures=None):
+        self.board = board
+        self.size = board.shape[0]
+        if captures is not None:
+            self.captures = {1: captures[0], 2: captures[1]}
+
+
 class AlphaZeroPlayer:
     def __init__(
         self,
@@ -86,12 +96,22 @@ class AlphaZeroPlayer:
         model_path: Optional[str] = "models/best_latest.ckpt",
         n_res_blocks: int = 3,
         channels: int = 64,
+        tactical_guard: bool = True,
     ):
         self.rules = str(rules).lower()
         self.board_size = board_size
         self.n_simulations = n_simulations
         self.c_puct = c_puct
         self.model_path = model_path
+        #: exact one-ply tactics pin (win now / block the opponent's win
+        #: now) computed by the native winning-cell scan before searching.
+        #: Conscious delta vs the reference player trio: a value head that
+        #: is confidently lost flattens PUCT visit counts (every visited
+        #: action backs up Q ~ -1 while unvisited ones keep Q = 0), and the
+        #: argmax move degenerates exactly when one forced block would
+        #: save the game — measured in round-2 tournaments. The guard
+        #: never fires outside exact mate-in-one situations.
+        self.tactical_guard = bool(tactical_guard)
 
         self.env = make_env(self.rules, board_size)
         explicit = model_path not in (None, DEFAULT_MODEL_PATH)
@@ -104,6 +124,20 @@ class AlphaZeroPlayer:
             raise FileNotFoundError(
                 f"AlphaZero player: requested checkpoint {model_path!r} "
                 "does not exist")
+        if model_path and os.path.exists(model_path) and not explicit:
+            # the shipped default resolved: only use it when it matches the
+            # requested board (a 9x9 probe player must not die on the
+            # 15x15 default; explicit paths still fail loudly on mismatch)
+            from alphazero_gomoku_tpu.models.checkpoint import peek_metadata
+            try:
+                ck_size = peek_metadata(model_path).get("board_size")
+            except Exception:
+                ck_size = None
+            if ck_size is not None and ck_size != board_size:
+                print(f"[AlphaZeroPlayer] default checkpoint {model_path} "
+                      f"is {ck_size}x{ck_size}, not {board_size}x"
+                      f"{board_size}; using fresh weights")
+                model_path = None
         if model_path and os.path.exists(model_path):
             print(f"[AlphaZeroPlayer] loading model: {model_path}")
             # size the net from the checkpoint's own metadata so plugins
@@ -120,8 +154,11 @@ class AlphaZeroPlayer:
             # rebuild the env so encode() matches the net's input layout
             self.env = make_env(self.rules, board_size, capture_planes=True)
 
+        # fpu_mode="parent": engine-play search quality fix (see
+        # MCTSConfig.fpu_mode) — self-play/training keep the
+        # reference-exact "zero"
         cfg = MCTSConfig(n_simulations=n_simulations, cpuct=c_puct,
-                         add_noise=False)
+                         add_noise=False, fpu_mode="parent")
         eval_fn = make_eval_fn(self.net.cfg)
         env = self.env
         self._search = jax.jit(
@@ -147,6 +184,21 @@ class AlphaZeroPlayer:
             state = self.env.from_board(raw, to_move)
         if bool(state.done):
             return None
+        if self.tactical_guard:
+            from alphazero_gomoku_tpu.search.pure_mcts import winning_cells
+
+            view = _BoardView(
+                raw, caps if self.rules == "pente" else None)
+            mine = winning_cells(view, to_move)
+            if mine.any():
+                idx = int(np.flatnonzero(mine)[0])
+                return divmod(idx, self.board_size)
+            theirs = winning_cells(view, 3 - to_move)
+            if theirs.any():
+                # block (one of) the opponent's immediate wins; with two
+                # or more disjoint wins the position is lost either way
+                idx = int(np.flatnonzero(theirs)[0])
+                return divmod(idx, self.board_size)
         pi = np.asarray(
             self._search(bundle_of(self.net), state, int(turn_number),
                          jax.random.PRNGKey(turn_number))

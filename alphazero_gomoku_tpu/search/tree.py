@@ -54,6 +54,17 @@ class MCTSConfig:
     add_noise: bool = True
     max_nodes: Optional[int] = None  # default: n_simulations + 1
     max_depth: int = 0  # 0 = unbounded; see _select docstring
+    # first-play urgency: Q used for UNVISITED edges during selection.
+    #   "zero": the reference-exact W/(1+N) (= 0 when N=0,
+    #     new_mcts_alpha.py:136-140).
+    #   "parent": unvisited edges inherit the node's running mean Q
+    #     (sum W / sum N). Fixes the measured round-2 pathology: when the
+    #     value head is confidently lost, every VISITED action backs up
+    #     Q ~ -1 while unvisited ones keep Q = 0, so visits flatten
+    #     across all legal moves and the final argmax degenerates exactly
+    #     when one forced block would save the game. Players default to
+    #     "parent"; self-play keeps "zero" for reference comparability.
+    fpu_mode: str = "zero"
     # leaves selected (with virtual loss) per network call, per game.
     # 1 = the reference-exact sequential search.  k>1 selects k leaves
     # back-to-back — each select backs up an assumed loss so the next
@@ -82,6 +93,8 @@ class MCTSConfig:
     terminal_value_mode: str = "always_loss"
 
     def __post_init__(self):
+        if self.fpu_mode not in ("zero", "parent"):
+            raise ValueError(f"unknown fpu_mode: {self.fpu_mode!r}")
         if self.leaves_per_sim < 1:
             raise ValueError(f"leaves_per_sim={self.leaves_per_sim} < 1")
         if (self.leaves_per_sim > 1
@@ -182,14 +195,25 @@ def _masked_priors(probs: jax.Array, legal: jax.Array) -> jax.Array:
     return jnp.where(total < 1e-8, uniform, p)
 
 
-def _puct_scores(tree: Tree, node, cpuct: float) -> jax.Array:
+def _puct_scores(tree: Tree, node, cpuct: float,
+                 fpu_mode: str = "zero") -> jax.Array:
     a = tree.prior.shape[-1]
     nw_row = tree.nw[node]
     n, w = nw_row[:a], nw_row[a:]
     p_signed = tree.prior[node]
     p = jnp.maximum(p_signed, 0.0)
-    sqrt_sum = jnp.sqrt(jnp.sum(n))
-    scores = w / (1.0 + n) + cpuct * p * sqrt_sum / (1.0 + n)
+    sum_n = jnp.sum(n)
+    if fpu_mode == "parent":
+        # true-mean Q for visited edges + parent mean for unvisited: the
+        # reference's W/(1+N) damping keeps any visited edge's Q strictly
+        # above the parent mean, which would lock selection onto the
+        # first-visited child regardless of priors
+        parent_q = jnp.sum(w) / jnp.maximum(sum_n, 1.0)
+        q = jnp.where(n > 0.0, w / jnp.maximum(n, 1.0), parent_q)
+    else:
+        q = w / (1.0 + n)
+    sqrt_sum = jnp.sqrt(sum_n)
+    scores = q + cpuct * p * sqrt_sum / (1.0 + n)
     return jnp.where(p_signed >= 0.0, scores, NEG_INF)
 
 
@@ -257,7 +281,7 @@ def _select_and_expand(env, cfg: MCTSConfig, tree: Tree, slot):
         node, _, _, depth = carry
         done = tree.states.done[node]
         capped = depth >= cfg.depth_limit
-        scores = _puct_scores(tree, node, cfg.cpuct)
+        scores = _puct_scores(tree, node, cfg.cpuct, cfg.fpu_mode)
         action = jnp.argmax(scores).astype(jnp.int32)
         child = tree.children[node, action]
         # stop when: terminal node, depth cap, or unexpanded edge

@@ -106,7 +106,8 @@ def run_mcts_packed(
         slot = sim_idx + 1
 
         leaf, action, pnodes, pacts, plen = select_walk(
-            packed, layout, cfg.cpuct, cfg.depth_limit, interpret=interpret
+            packed, layout, cfg.cpuct, cfg.depth_limit, interpret=interpret,
+            fpu_parent=cfg.fpu_mode == "parent",
         )
         expanding = action >= 0
         safe_action = jnp.maximum(action, 0)
@@ -174,7 +175,8 @@ def run_mcts_packed(
             slot = base_slot + j
             leaf, action, pnodes, pacts, plen = select_walk(
                 packed, layout, cfg.cpuct, cfg.depth_limit,
-                interpret=interpret)
+                interpret=interpret,
+                fpu_parent=cfg.fpu_mode == "parent")
             expanding = action >= 0
             safe_action = jnp.maximum(action, 0)
             parent_state = jax.tree_util.tree_map(

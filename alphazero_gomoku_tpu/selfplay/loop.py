@@ -153,6 +153,7 @@ def train_alphazero(
     mcts_max_depth: int = 64,          # select-walk cap (0 = unbounded)
     mcts_backend: str = "xla",         # "xla" | "pallas" (tree kernels)
     mcts_leaves_per_sim: int = 1,      # k leaves per NN call (virtual loss)
+    mcts_fpu_mode: str = "zero",       # "zero" (reference) | "parent"
     # --- network (reference trainer defaults: 3 blocks / 64 ch) ---
     n_res_blocks: int = 3,
     channels: int = 64,
@@ -309,6 +310,7 @@ def train_alphazero(
             max_depth=mcts_max_depth,
             backend=mcts_backend,
             leaves_per_sim=mcts_leaves_per_sim,
+            fpu_mode=mcts_fpu_mode,
         ),
     )
     arena_cfg = MCTSConfig(
@@ -317,6 +319,7 @@ def train_alphazero(
         leaves_per_sim=(mcts_leaves_per_sim
                         if eval_mcts_simulations % mcts_leaves_per_sim == 0
                         else 1),
+        fpu_mode=mcts_fpu_mode,
     )
     arena_half_fn = None
     if selfplay_mode == "continuous":

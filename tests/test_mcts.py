@@ -272,6 +272,51 @@ def test_kleaf_virtual_loss_fully_cancelled():
     np.testing.assert_allclose(np.asarray(pi).sum(-1), 1.0, atol=1e-5)
 
 
+def test_fpu_parent_keeps_search_on_priors_under_collapsed_value():
+    """The round-2 engine pathology: a value head that scores everything
+    ~-1 makes every VISITED action's Q ~ -1 while unvisited ones keep
+    Q = 0 under the reference formula, so visits flatten over all legal
+    moves.  fpu_mode='parent' must keep the search concentrated on the
+    prior-preferred action instead."""
+    env = GomokuEnv(SIZE)
+    target = 3 * SIZE + 3
+
+    def collapsed_eval(params, obs):
+        del params
+        bsz = obs.shape[0]
+        # weak prior edge on the "right" move (the measured tournament
+        # positions had ~3% mass on the forced block) ...
+        probs = jnp.full((bsz, A), 0.96 / (A - 1), jnp.float32)
+        probs = probs.at[:, target].set(0.04)
+        # ... and +0.95 from every evaluated leaf's OWN perspective: each
+        # edge backs up -0.95 to its parent ("whatever I play, the
+        # opponent wins") — the collapsed-value-head regime
+        return probs, jnp.full((bsz, 1), 0.95, jnp.float32)
+
+    states = env.init_batch(1)
+    moves = jnp.zeros((1,), jnp.int32)
+    pis = {}
+    for mode in ("zero", "parent"):
+        # fewer sims than legal actions: the zero-FPU search can always
+        # find a fresh Q=0 edge, so it never returns to the right move
+        cfg = MCTSConfig(n_simulations=32, cpuct=1.0, add_noise=False,
+                         fpu_mode=mode)
+        pis[mode] = np.asarray(jax.jit(
+            lambda st, mv, key: run_mcts(env, cfg, collapsed_eval, None,
+                                         st, mv, key)
+        )(states, moves, jax.random.PRNGKey(0)))[0]
+    # zero-FPU spreads (unvisited Q=0 beats visited Q~-0.95 every time);
+    # parent-FPU concentrates on the prior-preferred action
+    assert pis["zero"][target] < 0.2, pis["zero"][target]
+    assert int(np.argmax(pis["parent"])) == target
+    assert pis["parent"][target] > 5 * pis["zero"][target]
+
+
+def test_fpu_mode_validation():
+    with pytest.raises(ValueError):
+        MCTSConfig(n_simulations=8, fpu_mode="bogus")
+
+
 def test_visit_sum_and_legality():
     games = [random_position(7, 6), random_position(8, 11)]
     n_sims = 32

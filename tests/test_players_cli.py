@@ -229,6 +229,44 @@ def test_pure_mcts_never_plays_past_game_end():
     assert root.children == {}  # terminal root never expanded
 
 
+def test_alpha_player_tactical_guard():
+    """The guard must take an immediate win and block an immediate loss,
+    independent of network quality (random weights here — the exact
+    situation a collapsed value head reproduces)."""
+    from alphazero_gomoku_tpu.players.alpha_base import AlphaZeroPlayer
+
+    p = AlphaZeroPlayer("gomoku", 9, n_simulations=4, model_path=None,
+                        n_res_blocks=1, channels=8)
+    # P1 has an open four -> P1 (to move) must win at an end
+    g = Gomoku(9)
+    for k in range(4):
+        g.do_move((4, k + 1))          # P1 row
+        g.do_move((8, k if k < 3 else 5))  # P2 elsewhere
+    assert p.play(g.clone(), 8, (8, 5)) in {(4, 0), (4, 5)}
+
+    # P2 to move must block P1's simple four (single gap)
+    g2 = Gomoku(9)
+    seq1 = [(4, 1), (4, 2), (4, 3), (4, 5)]
+    seq2 = [(0, 0), (0, 2), (0, 4), (0, 6)]
+    for a, b in zip(seq1, seq2):
+        g2.do_move(a)
+        g2.do_move(b)
+    g2.current_player = 2
+    # board now: P1 needs (4,4) or (4,0)/(4,6)? stones at cols 1,2,3,5 ->
+    # completing cells are (4,4) (making 1-5) or (4,0)+(4,4)... the scan
+    # finds (4,4) (joins both runs) and (4,0)? run 1,2,3 with 0 empty and
+    # 4 empty: placing (4,0) gives only 4. So the unique block is (4,4).
+    mv = p.play(g2.clone(), 8, (0, 6))
+    assert mv == (4, 4)
+
+    # guard off: same position must go through the search path (any legal
+    # move; just exercising the flag)
+    p2 = AlphaZeroPlayer("gomoku", 9, n_simulations=4, model_path=None,
+                         n_res_blocks=1, channels=8, tactical_guard=False)
+    mv2 = p2.play(g2.clone(), 8, (0, 6))
+    assert mv2 is not None and g2.board[mv2] == 0
+
+
 def test_load_player_kwargs_override():
     from alphazero_gomoku_tpu.players import load_player
 

@@ -95,6 +95,19 @@ def test_packed_matches_xla_kleaf_near_terminal():
     np.testing.assert_array_equal(q_x, q_p)
 
 
+def test_packed_matches_xla_fpu_parent():
+    """fpu_mode='parent' (first-play urgency) in the select kernel must
+    match the XLA path bit-for-bit."""
+    env = GomokuEnv(SIZE)
+    cfg = MCTSConfig(n_simulations=24, cpuct=1.25, add_noise=False,
+                     fpu_mode="parent")
+    states = random_states(env, 4, 7, seed=41)
+    pi_x, q_x, pi_p, q_p = both_backends(env, cfg, states, move_no=7,
+                                         key=jax.random.PRNGKey(6))
+    np.testing.assert_array_equal(pi_x, pi_p)
+    np.testing.assert_array_equal(q_x, q_p)
+
+
 def test_packed_matches_xla_depth_capped():
     env = GomokuEnv(SIZE)
     cfg = MCTSConfig(n_simulations=32, cpuct=1.25, add_noise=False,
