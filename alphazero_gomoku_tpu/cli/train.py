@@ -54,6 +54,13 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--weight-decay", type=float, default=1e-4)
     ap.add_argument("--model-dir", default="models")
     ap.add_argument("--save-every", type=int, default=1)
+    ap.add_argument("--anchor-arena-every", type=int, default=0,
+                    help="every N iterations also play the candidate "
+                         "against a FIXED anchor net (absolute strength "
+                         "trend; 0 = off)")
+    ap.add_argument("--anchor-model-path", default=None,
+                    help="anchor checkpoint (default: frozen copy of the "
+                         "starting weights)")
     ap.add_argument("--buffer-save-every", type=int, default=1,
                     help="persist the replay buffer every N iterations "
                          "(1 = reference parity; ~11 s/save at the 120k "
@@ -136,6 +143,8 @@ def main(argv=None):
         mcts_backend=args.mcts_backend,
         mcts_leaves_per_sim=args.mcts_leaves_per_sim,
         mcts_fpu_mode=args.mcts_fpu_mode,
+        anchor_arena_every=args.anchor_arena_every,
+        anchor_model_path=args.anchor_model_path,
         n_res_blocks=args.n_res_blocks,
         channels=args.channels,
         lr=args.lr,

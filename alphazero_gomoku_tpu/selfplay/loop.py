@@ -154,6 +154,15 @@ def train_alphazero(
     mcts_backend: str = "xla",         # "xla" | "pallas" (tree kernels)
     mcts_leaves_per_sim: int = 1,      # k leaves per NN call (virtual loss)
     mcts_fpu_mode: str = "zero",       # "zero" (reference) | "parent"
+    # hold-out anchor arena: every N iterations (0 = off) the candidate
+    # also plays a FIXED anchor net — by default a frozen copy of the
+    # starting weights, or the checkpoint at anchor_model_path. Unlike
+    # the candidate-vs-best gate (which is relative and drifts with
+    # best), the anchor win-rate trend is an ABSOLUTE strength signal:
+    # run 5 regressed for 250 gateless iterations with the relative
+    # arena pinned at 0.5 the whole time (DECISIONS.md round-2 notes).
+    anchor_arena_every: int = 0,
+    anchor_model_path: Optional[str] = None,
     # --- network (reference trainer defaults: 3 blocks / 64 ch) ---
     n_res_blocks: int = 3,
     channels: int = 64,
@@ -251,6 +260,16 @@ def train_alphazero(
         model_best = new_model()
     model_candidate = new_model()
     model_candidate.copy_weights_from(model_best)
+
+    model_anchor = None
+    if anchor_arena_every > 0:
+        model_anchor = new_model()
+        if anchor_model_path and os.path.exists(anchor_model_path):
+            log(f"[anchor] loading fixed anchor: {anchor_model_path}")
+            model_anchor.load(anchor_model_path)
+        else:
+            log("[anchor] anchoring to the starting weights")
+            model_anchor.copy_weights_from(model_best)
 
     buffer_path = os.path.join(model_dir, "replay_buffer_latest.npz")
     buffer = load_replay_buffer(buffer_path, capacity=buffer_size,
@@ -511,6 +530,26 @@ def train_alphazero(
             f"W/S/L={pairs['win_both']}/{pairs['split']}/"
             f"{pairs['loss_both']}")
 
+        # ---- phase 3b: hold-out anchor arena (absolute strength) -----
+        anchor_stats = None
+        if model_anchor is not None and it % anchor_arena_every == 0:
+            try:
+                anchor_stats = evaluate_params_detailed(
+                    env, arena_cfg, eval_fn,
+                    search_bundle(model_candidate),
+                    search_bundle(model_anchor),
+                    eval_games, jax.random.PRNGKey(seed * 104729 + it),
+                    arena_half_fn=arena_half_fn,
+                )
+                a_lo, a_hi = anchor_stats["ci95"]
+                ap = anchor_stats["pairs"]
+                log(f"anchor arena: win_rate={anchor_stats['win_rate']:.3f}"
+                    f" ({anchor_stats['wins']}/{anchor_stats['played']}),"
+                    f" CI95=[{a_lo:.2f},{a_hi:.2f}], pairs W/S/L="
+                    f"{ap['win_both']}/{ap['split']}/{ap['loss_both']}")
+            except Exception as e:
+                log(f"anchor arena failed: {e}")
+
         # ---- phase 4: gate -------------------------------------------
         accepted = win_rate >= win_rate_threshold
         if accepted:
@@ -555,6 +594,7 @@ def train_alphazero(
             "win_rate": win_rate,
             "win_rate_ci95": [round(ci_lo, 4), round(ci_hi, 4)],
             "arena_pairs": pairs,
+            "anchor": anchor_stats,
             "draws": draws,
             "accepted": accepted,
             "buffer_size": len(buffer),

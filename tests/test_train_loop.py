@@ -176,3 +176,21 @@ def test_train_loop_continuous_mode(tmp_path):
     )
     assert hist[0]["moves"] == 4 * 30  # every ply is a real move
     assert hist[0]["buffer_size"] > 0
+
+
+def test_anchor_arena_records_absolute_strength(tmp_path):
+    """anchor_arena_every plays the candidate vs a frozen anchor and
+    records the stats in history."""
+    hist = train_alphazero(
+        game_name="gomoku", board_size=SIZE, num_iterations=2,
+        games_per_iteration=2, n_simulations=8, buffer_size=256,
+        batch_size=16, epochs_per_iter=1, temp_threshold=4,
+        eval_games=2, eval_mcts_simulations=8,
+        anchor_arena_every=2, n_res_blocks=1, channels=8,
+        model_dir=str(tmp_path), seed=2, verbose=False, mesh=None,
+    )
+    # iterations are 1-based: iter 2 hits the cadence, iter 1 does not
+    assert hist[0]["anchor"] is None
+    a = hist[1]["anchor"]
+    assert a is not None and a["played"] == 2
+    assert 0.0 <= a["win_rate"] <= 1.0 and "pairs" in a
