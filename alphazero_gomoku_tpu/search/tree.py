@@ -64,6 +64,12 @@ class MCTSConfig:
     #     across all legal moves and the final argmax degenerates exactly
     #     when one forced block would save the game. Players default to
     #     "parent"; self-play keeps "zero" for reference comparability.
+    #   KNOWN ISSUE (round 2, untriaged): "parent" with backend="pallas"
+    #     crashes the TPU worker minutes into LONG runs (full-length
+    #     batch-128 self-play died twice at either depth cap; the same
+    #     program with "zero" runs clean, and short runs/CPU interpret
+    #     are fine). Engine play uses batch 1 (XLA path) and is
+    #     unaffected. Until triaged, avoid parent+pallas for training.
     fpu_mode: str = "zero"
     # leaves selected (with virtual loss) per network call, per game.
     # 1 = the reference-exact sequential search.  k>1 selects k leaves
