@@ -165,6 +165,7 @@ void az_winning_cells(const int8_t *board, int32_t size, int32_t player,
  * az_capture_potential. */
 void az_policy_scores(const int8_t *board, int32_t size, int32_t player,
                       int32_t table, float *out) {
+    if (size > 32) return; /* stack scratch below is 32x32; caller gates */
     int n = size, opp = 3 - player;
     az_threat_scores(board, n, player, table, out);
     for (int i = 0; i < n * n; i++) out[i] *= 2.0f;

@@ -140,8 +140,14 @@ def gather_trajectories(traj, mesh: Mesh):
     trainer always routes through it so the multi-host path is exercised
     by every mesh run (incl. ``dryrun_multichip``).
     """
-    repl = NamedSharding(mesh, P())
-    return jax.jit(lambda t: t, out_shardings=repl)(traj)
+    return _gather_fn(mesh)(traj)
+
+
+@functools.lru_cache(maxsize=None)
+def _gather_fn(mesh: Mesh):
+    # cache the jitted identity per mesh: a fresh lambda per call would
+    # defeat the jit cache and recompile the all-gather every iteration
+    return jax.jit(lambda t: t, out_shardings=NamedSharding(mesh, P()))
 
 
 def make_sharded_gather_epoch(net_cfg, tx, mesh: Mesh, axis: str = "data",

@@ -165,7 +165,7 @@ def evaluate_params_detailed(
     # counts in the win rate but has no mirror partner
     if (w_a is not None and w_b is not None
             and w_a.shape[0] == w_b.shape[0]):
-        n_pairs = min(w_a.shape[0], w_b.shape[0])
+        n_pairs = w_a.shape[0]
         cand_won_a = w_a[:n_pairs] == 1
         cand_won_b = w_b[:n_pairs] == 2
         pairs["win_both"] = int((cand_won_a & cand_won_b).sum())

@@ -264,7 +264,13 @@ def train_alphazero(
     model_anchor = None
     if anchor_arena_every > 0:
         model_anchor = new_model()
-        if anchor_model_path and os.path.exists(anchor_model_path):
+        if anchor_model_path:
+            if not os.path.exists(anchor_model_path):
+                # an explicitly requested anchor must never be silently
+                # replaced — the whole point is an absolute baseline
+                raise FileNotFoundError(
+                    f"anchor_model_path {anchor_model_path!r} does not "
+                    "exist")
             log(f"[anchor] loading fixed anchor: {anchor_model_path}")
             model_anchor.load(anchor_model_path)
         else:
@@ -382,6 +388,31 @@ def train_alphazero(
         else:
             log(f"[mesh] batch_size {batch_size} not divisible by "
                 f"{mesh.devices.size} chips; training stays unsharded")
+
+    if mcts_backend == "pallas":
+        # fail fast on batches the lane-tiled kernels reject — a bad
+        # eval_games would otherwise raise inside the arena phase, be
+        # swallowed by its keep-training-alive except, and silently
+        # zero the gate every iteration
+        from alphazero_gomoku_tpu.ops.tree_kernels import LANE_TILE
+
+        n_shards = mesh.devices.size if mesh is not None else 1
+        checks = [
+            ("games_per_iteration (per chip)",
+             games_per_iteration // n_shards
+             if selfplay_mode != "continuous" and mesh is not None
+             else games_per_iteration),
+            ("eval_games first half (per chip)",
+             -(-((eval_games + 1) // 2) // n_shards)),
+            ("eval_games second half (per chip)",
+             -(-(eval_games // 2) // n_shards)),
+        ]
+        for what, n in checks:
+            if n > LANE_TILE and n % LANE_TILE:
+                raise ValueError(
+                    f"{what}={n}: with mcts_backend='pallas', lockstep "
+                    f"batches above {LANE_TILE} must be multiples of "
+                    f"{LANE_TILE} (lane-tiled tree kernels)")
 
     rng_np = np.random.default_rng(seed)
     history = []
