@@ -61,6 +61,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--anchor-model-path", default=None,
                     help="anchor checkpoint (default: frozen copy of the "
                          "starting weights)")
+    ap.add_argument("--gate-mode", default="reset",
+                    choices=["reset", "track"],
+                    help="on gate failure: 'reset' restores the candidate "
+                         "from best (reference parity); 'track' lets the "
+                         "candidate keep training and only holds back the "
+                         "promotion of best (drift-proof peak tracking)")
     ap.add_argument("--buffer-save-every", type=int, default=1,
                     help="persist the replay buffer every N iterations "
                          "(1 = reference parity; ~11 s/save at the 120k "
@@ -145,6 +151,7 @@ def main(argv=None):
         mcts_fpu_mode=args.mcts_fpu_mode,
         anchor_arena_every=args.anchor_arena_every,
         anchor_model_path=args.anchor_model_path,
+        gate_mode=args.gate_mode,
         n_res_blocks=args.n_res_blocks,
         channels=args.channels,
         lr=args.lr,

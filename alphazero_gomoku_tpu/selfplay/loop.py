@@ -163,6 +163,17 @@ def train_alphazero(
     # arena pinned at 0.5 the whole time (DECISIONS.md round-2 notes).
     anchor_arena_every: int = 0,
     anchor_model_path: Optional[str] = None,
+    # gate semantics when the candidate fails the arena threshold:
+    #   "reset" (reference parity, train.py:826-834): candidate <- best,
+    #     discarding the iteration's optimizer progress;
+    #   "track": candidate keeps training regardless — the gate only
+    #     decides whether best (the net that gets snapshotted and defends
+    #     the arena) advances.  This keeps the training continuity that
+    #     made gateless runs learn fast while pinning `best` at the run's
+    #     peak: run 5/6 drifted past their peak with no gate, while the
+    #     reference-style reset gate stalls learning when the arena is
+    #     noisy (DECISIONS.md round-2 notes).
+    gate_mode: str = "reset",
     # --- network (reference trainer defaults: 3 blocks / 64 ch) ---
     n_res_blocks: int = 3,
     channels: int = 64,
@@ -217,6 +228,8 @@ def train_alphazero(
         if verbose:
             print(*args, flush=True)
 
+    if gate_mode not in ("reset", "track"):
+        raise ValueError(f"unknown gate_mode: {gate_mode!r}")
     if pente_capture_planes and game_name != "pente":
         # make_env ignores the flag for other games but collect_examples
         # would still build 5-channel states, surfacing later as an opaque
@@ -586,9 +599,11 @@ def train_alphazero(
         if accepted:
             log(" candidate ACCEPTED -> promoted to best")
             model_best.copy_weights_from(model_candidate)
-        else:
+        elif gate_mode == "reset":
             log(" candidate rejected -> restored from best")
             model_candidate.copy_weights_from(model_best)
+        else:  # "track": best stays put; candidate trains on
+            log(" candidate rejected -> best unchanged (track mode)")
 
         # ---- phase 5: snapshot + persist buffer ----------------------
         # multi-host: only the primary writes artifacts (every process

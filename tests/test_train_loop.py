@@ -178,6 +178,35 @@ def test_train_loop_continuous_mode(tmp_path):
     assert hist[0]["buffer_size"] > 0
 
 
+def test_gate_mode_track_keeps_best_frozen_on_rejection(tmp_path):
+    """gate_mode='track': a rejected candidate keeps training (no reset)
+    and best never advances — the promoted/snapshotted net stays at the
+    start weights under an always-reject threshold."""
+    import jax.numpy as jnp
+
+    common = dict(
+        game_name="gomoku", board_size=SIZE, num_iterations=2,
+        games_per_iteration=2, n_simulations=8, buffer_size=256,
+        batch_size=16, epochs_per_iter=1, temp_threshold=4,
+        eval_games=2, eval_mcts_simulations=8,
+        win_rate_threshold=2.0,  # impossible: every candidate rejected
+        n_res_blocks=1, channels=8, seed=6, verbose=False, mesh=None,
+    )
+    hist = train_alphazero(gate_mode="track",
+                           model_dir=str(tmp_path / "t"), **common)
+    assert all(not h["accepted"] for h in hist)
+    best = AZModel(board_size=SIZE, n_res_blocks=1, channels=8)
+    best.load(str(tmp_path / "t" / "best_latest.ckpt"))
+    init = AZModel(board_size=SIZE, n_res_blocks=1, channels=8, seed=6)
+    for a, b in zip(jax.tree_util.tree_leaves(best.params),
+                    jax.tree_util.tree_leaves(init.params)):
+        assert jnp.allclose(a, b), "best advanced despite rejection"
+
+    with pytest.raises(ValueError, match="gate_mode"):
+        train_alphazero(gate_mode="bogus", model_dir=str(tmp_path / "x"),
+                        **common)
+
+
 def test_anchor_arena_records_absolute_strength(tmp_path):
     """anchor_arena_every plays the candidate vs a frozen anchor and
     records the stats in history."""
