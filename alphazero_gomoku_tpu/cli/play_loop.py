@@ -167,8 +167,11 @@ def loop_for_n_games(p1_name, p2_name, n_games, game_name="gomoku", size=15,
     for name, w in wins.items():
         print(f"{name} won {w} times")
 
+    # reference naming for gomoku (play_loop.py:238-241); other games get
+    # a qualifier so a pente tournament cannot overwrite gomoku metrics
+    tag = "" if game_name == "gomoku" else f"{game_name}_"
     fname = (f"{p1_name}_{metrics['player1'][1]}_"
-             f"{p2_name}_{metrics['player2'][1]}_3.json")
+             f"{p2_name}_{metrics['player2'][1]}_{tag}3.json")
     path = METRICS_DIR / fname
     with open(path, "w") as f:
         json.dump(to_json_safe(metrics), f, indent=4)

@@ -52,6 +52,7 @@ def main(argv=None):
     ap.add_argument("--model", required=True)
     ap.add_argument("--sims", type=int, default=64)
     ap.add_argument("--size", type=int, default=15)
+    ap.add_argument("--game", default="gomoku", choices=["gomoku", "pente"])
     args = ap.parse_args(argv)
 
     import jax
@@ -62,8 +63,11 @@ def main(argv=None):
     from alphazero_gomoku_tpu.search import MCTSConfig, run_mcts
     from alphazero_gomoku_tpu.selfplay.loop import bundle_of, make_eval_fn
 
-    env = make_env("gomoku", args.size)
     net = AZModel.from_checkpoint(args.model, board_size=args.size)
+    # the probe positions (row fives, no pending captures) are legal and
+    # tactically identical in pente; capture planes follow the checkpoint
+    env = make_env(args.game, args.size,
+                   capture_planes=net.cfg.in_channels == 5)
     eval_fn = make_eval_fn(net.cfg)
     bundle = bundle_of(net)
     cfg = MCTSConfig(n_simulations=args.sims, cpuct=1.0, add_noise=False)
