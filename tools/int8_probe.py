@@ -47,21 +47,31 @@ def chain(x, w, n: int, acc):
             y = y.astype(h.dtype)
         return y, ()
     out, _ = jax.lax.scan(body, x, None, length=n)
-    return out
+    # scalar result: timing syncs by fetching it — over the axon tunnel
+    # jax.block_until_ready is a NO-OP (returns before remote execution
+    # finishes); only a device->host readback truly waits (cf. bench.py)
+    return out.astype(jnp.float32).sum()
 
 
-def bench_mode(name, x, w, acc, n, reps=20):
-    out = chain(x, w, n, acc)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = chain(x, w, n, acc)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / reps
+def bench_mode(name, x, w, acc, n, reps=2000):
+    # One dispatch per measurement (reps folded into the jitted scan) and
+    # a two-length difference, so the ~1s axon tunnel latency and the
+    # dispatch cost cancel and only device execution time remains.
+    short, long_ = n, n * (reps + 1)
+    for length in (short, long_):  # compile both
+        float(chain(x, w, length, acc))
+
+    def timed(length):
+        t0 = time.perf_counter()
+        float(chain(x, w, length, acc))
+        return time.perf_counter() - t0
+
+    dt = (min(timed(long_) for _ in range(3))
+          - min(timed(short) for _ in range(3))) / (long_ - short)
     b, hh, ww, c = x.shape
-    flops = 2 * 9 * c * c * hh * ww * b * n
+    flops = 2 * 9 * c * c * hh * ww * b
     print(json.dumps({
-        "mode": name, "ms": round(dt * 1e3, 3),
+        "mode": name, "us_per_conv": round(dt * 1e6, 2),
         "tflops": round(flops / dt / 1e12, 1),
     }), flush=True)
     return dt
@@ -73,6 +83,9 @@ def main(argv=None):
     ap.add_argument("--size", type=int, default=15)
     ap.add_argument("--channels", type=int, default=128)
     ap.add_argument("--convs", type=int, default=13)  # 6 blocks x2 + stem
+    ap.add_argument("--reps", type=int, default=2000,
+                    help="long chain = convs*(reps+1); keep it seconds of "
+                    "device time so the tunnel noise cancels in the diff")
     args = ap.parse_args(argv)
 
     rng = np.random.default_rng(0)
@@ -81,12 +94,13 @@ def main(argv=None):
     xf = jnp.asarray(rng.standard_normal(shape_x), jnp.float32)
     wf = jnp.asarray(rng.standard_normal(shape_w) * 0.05, jnp.float32)
 
-    tf32 = bench_mode("f32", xf, wf, jnp.float32, args.convs)
+    tf32 = bench_mode("f32", xf, wf, jnp.float32, args.convs, args.reps)
     tbf = bench_mode("bf16", xf.astype(jnp.bfloat16),
-                     wf.astype(jnp.bfloat16), jnp.float32, args.convs)
+                     wf.astype(jnp.bfloat16), jnp.float32, args.convs,
+                     args.reps)
     xi = jnp.asarray(rng.integers(-127, 128, shape_x), jnp.int8)
     wi = jnp.asarray(rng.integers(-127, 128, shape_w), jnp.int8)
-    ti8 = bench_mode("int8", xi, wi, jnp.int32, args.convs)
+    ti8 = bench_mode("int8", xi, wi, jnp.int32, args.convs, args.reps)
     print(json.dumps({
         "int8_vs_f32": round(tf32 / ti8, 2),
         "int8_vs_bf16": round(tbf / ti8, 2),
