@@ -1,0 +1,255 @@
+"""int8 quantized inference for the policy/value ResNet (XLA, TPU MXU).
+
+The self-play forward is 72% of per-sim time at production batches and the
+f32/bf16 conv path already runs at ~90% of the v5e's bf16 MXU peak
+(DECISIONS.md round-2 cost split + int8 probe), so the one order-unity
+lever left is the MXU's 2x int8 rate: `tools/int8_probe.py` measured a
+res-block conv chain at 337 TF/s int8 vs 178 TF/s f32/bf16 (1.89x) at the
+production shape, requantization included.
+
+Scheme (post-training, symmetric, per-channel on BOTH sides):
+  - BN is folded into each conv first (same `_fold` as the bf16 path).
+  - Activations: per-INPUT-CHANNEL int8 scales calibrated once per
+    checkpoint by running the folded f32 forward over a batch of
+    representative board states and recording per-channel max|x| at every
+    conv input (:func:`quantize_int8`).  The channel scale vector is
+    FOLDED INTO THE NEXT CONV'S WEIGHTS along the K axis
+    (``conv(x/s, W * s) == conv(x, W)``), so runtime cost is identical to
+    per-tensor — one elementwise divide at requant.  Post-BN-fold channel
+    ranges vary by >10x, so this recovers most of the per-tensor scheme's
+    top-1 loss (86.7% -> see tests) for free.
+  - Weights (after the act-scale fold): per-OUTPUT-CHANNEL int8.
+  - Each 3x3 conv runs int8 x int8 -> int32 on the MXU; the per-Cout
+    dequant scale and folded bias are applied in f32, fused by XLA into
+    the conv epilogue.  The residual track stays f32; inter-layer
+    activations are stored int8 (1/4 the f32 HBM traffic).
+  - The policy/value heads (<1% of FLOPs) run in f32.
+
+Training is untouched — this is an inference-only path selected via
+``infer="int8"`` in ``bench.py`` / eval-fn factories, mirroring the bf16
+and fused paths in ``ops/fused_net.py``.  Accuracy is validated in
+``tests/test_int8_net.py`` (policy top-1 agreement + KL + value MAE vs the
+f32 forward on real positions) and at the strength level by the arena A/B
+harness (``tools/int8_ab.py``).
+
+Reference analogue: eval-mode ``predict`` (/root/reference/network.py:
+168-183); the reference has no quantized path — this is TPU-specific.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alphazero_gomoku_tpu.models.resnet import NetConfig
+from alphazero_gomoku_tpu.ops.fused_net import fold_bn_xla
+
+QMAX = 127.0
+
+
+# ----------------------------------------------------------------------
+# calibration: per-channel amax of every conv input on the f32 path
+# ----------------------------------------------------------------------
+def _folded_forward_ranges(cfg: NetConfig, folded, obs):
+    """Folded f32 forward returning per-channel max|x| at each conv input.
+
+    Keys: "obs", "tower_in_<i>" (block i conv1 input), "mid_<i>" (block i
+    conv2 input); each value is a [C] vector.
+    """
+    f32 = jnp.float32
+
+    def amax(x):
+        return jnp.max(jnp.abs(x.astype(f32)), axis=(0, 1, 2))
+
+    def conv(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=f32,
+        )
+
+    ranges = {"obs": amax(obs)}
+    h = jax.nn.relu(conv(obs.astype(f32), folded["stem_w"].astype(f32))
+                    + folded["stem_b"])
+    for i, blk in enumerate(folded["blocks"]):
+        ranges[f"tower_in_{i}"] = amax(h)
+        r = h
+        h = jax.nn.relu(conv(h, blk["w1"].astype(f32)) + blk["b1"])
+        ranges[f"mid_{i}"] = amax(h)
+        h = conv(h, blk["w2"].astype(f32)) + blk["b2"]
+        h = jax.nn.relu(h + r)
+    return ranges
+
+
+def quantize_int8(cfg: NetConfig, params, batch_stats,
+                  calib_obs) -> Dict[str, Any]:
+    """Build the int8 inference bundle from training params + calib states.
+
+    ``calib_obs``: [N, H, W, Cin] f32 representative observations (a few
+    hundred positions from real games is plenty; exact max-abs calibration
+    — clipping quantiles measurably hurt on this net).  Returns a pytree
+    with int8 conv weights (activation channel scales pre-folded), f32
+    per-Cout dequant scales and biases, per-channel requant divisors, and
+    the f32 head weights — ready for :func:`int8_apply`.
+    """
+    folded = fold_bn_xla(cfg, params, batch_stats, dtype=jnp.float32)
+    ranges = jax.jit(
+        lambda o: _folded_forward_ranges(cfg, folded, o)
+    )(jnp.asarray(calib_obs, jnp.float32))
+    # floor tiny/dead channels so scales stay finite
+    ranges = {k: jnp.maximum(v, 1e-5) for k, v in ranges.items()}
+
+    def qconv_weights(w, s_act):
+        """Fold per-in-channel act scales into ``w``; quantize per-Cout.
+
+        w: [3,3,Cin,Cout] f32;  s_act: [Cin] (x ~ x_q * s_act).
+        Returns (int8 weights, per-Cout f32 dequant scale).
+        """
+        w_eff = w * s_act[None, None, :, None]
+        s_w = jnp.maximum(jnp.max(jnp.abs(w_eff), axis=(0, 1, 2)),
+                          1e-12) / QMAX
+        q = jnp.clip(jnp.round(w_eff / s_w[None, None, None, :]),
+                     -QMAX, QMAX)
+        return q.astype(jnp.int8), s_w.astype(jnp.float32)
+
+    out: Dict[str, Any] = {}
+    s_obs = ranges["obs"] / QMAX                       # [Cin]
+    out["s_obs"] = s_obs
+    out["stem_w"], out["stem_scale"] = qconv_weights(folded["stem_w"], s_obs)
+    out["stem_b"] = folded["stem_b"]
+
+    blocks = []
+    for i, blk in enumerate(folded["blocks"]):
+        s_in = ranges[f"tower_in_{i}"] / QMAX          # [C]
+        s_mid = ranges[f"mid_{i}"] / QMAX              # [C]
+        w1q, d1 = qconv_weights(blk["w1"], s_in)
+        w2q, d2 = qconv_weights(blk["w2"], s_mid)
+        blocks.append({
+            "w1": w1q, "scale1": d1, "b1": blk["b1"],
+            "w2": w2q, "scale2": d2, "b2": blk["b2"],
+            "s_in": s_in, "s_mid": s_mid,
+        })
+    out["blocks"] = blocks
+    # the LAST block's output feeds the heads in f32; no requant needed
+    for k in ("pol_w", "pol_b", "pol_fc_w", "pol_fc_b", "val_w", "val_b",
+              "val_fc1_w", "val_fc1_b", "val_fc2_w", "val_fc2_b"):
+        out[k] = folded[k]
+    return out
+
+
+# ----------------------------------------------------------------------
+# the int8 forward
+# ----------------------------------------------------------------------
+def _qconv(x_q, w_q, out_scale, bias):
+    """int8 conv -> f32: conv(int8, int8)->int32, per-Cout dequant + bias."""
+    y = jax.lax.conv_general_dilated(
+        x_q, w_q, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    return y.astype(jnp.float32) * out_scale + bias
+
+
+def _requant(x_f32, s_chan):
+    """f32 -> int8 at per-channel ``s_chan`` [C] (symmetric, rounded)."""
+    return jnp.clip(jnp.round(x_f32 / s_chan), -QMAX, QMAX).astype(jnp.int8)
+
+
+def int8_apply(cfg: NetConfig, q, obs) -> Tuple[jax.Array, jax.Array]:
+    """Eval-mode forward on the int8 bundle: obs -> (logits, value).
+
+    Convs run on the int8 MXU path; dequant/bias/ReLU/requant are f32
+    elementwise ops XLA fuses into the conv epilogues; the residual track
+    and the heads stay f32.
+    """
+    f32 = jnp.float32
+    obs_q = _requant(obs.astype(f32), q["s_obs"])
+    h = jax.nn.relu(_qconv(obs_q, q["stem_w"], q["stem_scale"], q["stem_b"]))
+    for blk in q["blocks"]:
+        r = h
+        h_q = _requant(h, blk["s_in"])
+        m = jax.nn.relu(_qconv(h_q, blk["w1"], blk["scale1"], blk["b1"]))
+        m_q = _requant(m, blk["s_mid"])
+        y = _qconv(m_q, blk["w2"], blk["scale2"], blk["b2"])
+        h = jax.nn.relu(y + r)
+
+    b = h.shape[0]
+    hw = cfg.board_size * cfg.board_size
+    rows = h.reshape(b * hw, cfg.channels)
+    p = jax.nn.relu(jnp.dot(rows, q["pol_w"].reshape(cfg.channels, 2))
+                    + q["pol_b"])
+    logits = jnp.dot(p.reshape(b, 2 * hw), q["pol_fc_w"]) + q["pol_fc_b"]
+    v = jax.nn.relu(jnp.dot(rows, q["val_w"].reshape(cfg.channels, 1))
+                    + q["val_b"])
+    v = jax.nn.relu(jnp.dot(v.reshape(b, hw), q["val_fc1_w"])
+                    + q["val_fc1_b"])
+    v = jnp.dot(v, q["val_fc2_w"]) + q["val_fc2_b"]
+    return logits, jnp.tanh(v)
+
+
+def make_int8_eval_fn(cfg: NetConfig):
+    """MCTS eval_fn backed by the int8 forward.
+
+    The bundle is the pytree from :func:`quantize_int8`; quantize once per
+    checkpoint (calibration included), not per call.
+    """
+
+    def eval_fn(q, obs):
+        logits, value = int8_apply(cfg, q, obs)
+        return jax.nn.softmax(logits, axis=-1), value
+
+    return eval_fn
+
+
+# ----------------------------------------------------------------------
+# calibration-state helpers
+# ----------------------------------------------------------------------
+def random_play_calib_obs(cfg: NetConfig, game: str = "gomoku",
+                          n: int = 256, seed: int = 0) -> np.ndarray:
+    """Real-geometry calibration boards from random-legal-move host games.
+
+    Random play visits plausible stone densities and alternation patterns
+    (unlike uniform random fills) and needs no model; positions from the
+    actual replay buffer calibrate marginally better when available.
+    """
+    from alphazero_gomoku_tpu.games.host import Gomoku, Pente
+    eng_cls = {"gomoku": Gomoku, "pente": Pente}[game]
+    rng = np.random.default_rng(seed)
+    obs = []
+    while len(obs) < n:
+        env = eng_cls(cfg.board_size)
+        for _ in range(int(rng.integers(4, 60))):
+            moves = env.get_legal_moves()
+            if not moves:
+                break
+            env.do_move(moves[rng.integers(len(moves))])
+            if env.check_winner():
+                break
+            obs.append(env.get_encoded_state().transpose(1, 2, 0))
+    return np.stack(obs[:n]).astype(np.float32)
+
+
+def random_calib_obs(cfg: NetConfig, n: int = 256, cin: int = 3,
+                     seed: int = 0) -> np.ndarray:
+    """Synthetic calibration boards: random disjoint stone fills.
+
+    Fallback when no host engine fits (e.g. nonstandard ``cin``); plane
+    semantics follow the reference encoding (games/gomoku.py): planes 0/1
+    are disjoint stone sets, plane 2 constant 1, extra planes (Pente
+    captures) zero.
+    """
+    rng = np.random.default_rng(seed)
+    hw = cfg.board_size
+    obs = np.zeros((n, hw, hw, cin), np.float32)
+    for i in range(n):
+        stones = rng.integers(0, hw * hw // 2)
+        cells = rng.choice(hw * hw, size=stones, replace=False)
+        own = cells[: stones // 2]
+        opp = cells[stones // 2:]
+        obs[i].reshape(hw * hw, cin)[own, 0] = 1.0
+        obs[i].reshape(hw * hw, cin)[opp, 1] = 1.0
+        obs[i, :, :, 2] = 1.0
+    return obs

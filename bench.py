@@ -67,6 +67,9 @@ def run_bench(batch_games: int = 256, n_simulations: int = 400,
     elif infer == "bf16":
         from alphazero_gomoku_tpu.ops.fused_net import make_bf16_eval_fn
         eval_fn = make_bf16_eval_fn(model.cfg)
+    elif infer == "int8":
+        from alphazero_gomoku_tpu.ops.int8_net import make_int8_eval_fn
+        eval_fn = make_int8_eval_fn(model.cfg)
     else:
         eval_fn = make_eval_fn(model.cfg)
     cfg = SelfPlayConfig(
@@ -86,6 +89,12 @@ def run_bench(batch_games: int = 256, n_simulations: int = 400,
     elif infer == "bf16":
         from alphazero_gomoku_tpu.ops.fused_net import fold_bn_xla
         bundle = fold_bn_xla(model.cfg, model.params, model.batch_stats)
+    elif infer == "int8":
+        from alphazero_gomoku_tpu.ops.int8_net import (quantize_int8,
+                                                       random_calib_obs)
+        cin = env.encode(env.init()).shape[-1]
+        bundle = quantize_int8(model.cfg, model.params, model.batch_stats,
+                               random_calib_obs(model.cfg, cin=cin))
     else:
         bundle = bundle_of(model)
 
@@ -242,7 +251,7 @@ if __name__ == "__main__":
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--sims", type=int, default=400)
     ap.add_argument("--infer", default="f32",
-                    choices=["f32", "bf16", "fused"])
+                    choices=["f32", "bf16", "fused", "int8"])
     ap.add_argument("--backend", default="pallas", choices=["xla", "pallas"])
     ap.add_argument("--blocks", type=int, default=6)
     ap.add_argument("--channels", type=int, default=128)

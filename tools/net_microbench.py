@@ -65,10 +65,20 @@ def main(argv=None):
                                    obs, train=False)
         return jax.nn.softmax(logits, -1), value
 
+    from alphazero_gomoku_tpu.ops.int8_net import (
+        int8_apply, quantize_int8, random_calib_obs)
+    q8 = quantize_int8(cfg, model.params, model.batch_stats,
+                       random_calib_obs(cfg, n=64))
+
+    def int8(obs):
+        logits, value = int8_apply(cfg, q8, obs)
+        return jax.nn.softmax(logits, -1), value
+
     modes = {
         "exact_f32": exact,
         "folded_f32": lambda obs: folded_xla_apply(cfg, folded_f32, obs),
         "folded_bf16": lambda obs: folded_xla_apply(cfg, folded_bf16, obs),
+        "int8": int8,
     }
 
     results = {}
