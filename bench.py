@@ -42,7 +42,8 @@ def run_bench(batch_games: int = 256, n_simulations: int = 400,
               dtype: str = "float32", infer: str = "f32",
               backend: str = "pallas", game: str = "gomoku",
               leaves_per_sim: int = 1,
-              vs_baseline: float = BASELINE_MOVES_PER_SEC) -> dict:
+              vs_baseline: float = BASELINE_MOVES_PER_SEC,
+              trace_dir: str = None) -> dict:
     """Lockstep self-play throughput (configs #2/#3/#4 shapes).
 
     ``infer`` picks the search-time forward: "f32" exact apply (default —
@@ -106,11 +107,15 @@ def run_bench(batch_games: int = 256, n_simulations: int = 400,
     warm = meas(bundle, jax.random.PRNGKey(2))
     int(np.asarray(jnp.sum(warm.moves_played)))
 
+    if trace_dir:
+        jax.profiler.start_trace(trace_dir)
     t0 = time.time()
     traj = meas(bundle, jax.random.PRNGKey(3))
     moves = int(np.asarray(jnp.sum(jnp.minimum(traj.moves_played,
                                                measure_moves))))
     dt = time.time() - t0
+    if trace_dir:
+        jax.profiler.stop_trace()
 
     value = moves / dt
     return {
@@ -259,6 +264,9 @@ if __name__ == "__main__":
     ap.add_argument("--moves", type=int, default=48)
     ap.add_argument("--kleaf", type=int, default=1,
                     help="leaves per network call (virtual-loss batching)")
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture a jax.profiler device trace of the "
+                    "measured run into DIR (view with xprof/tensorboard)")
     a = ap.parse_args()
     if a.all:
         run_all()
@@ -267,4 +275,5 @@ if __name__ == "__main__":
             batch_games=a.batch, n_simulations=a.sims, infer=a.infer,
             backend=a.backend, n_res_blocks=a.blocks, channels=a.channels,
             game=a.game, measure_moves=a.moves, leaves_per_sim=a.kleaf,
+            trace_dir=a.trace,
         )))
