@@ -49,6 +49,25 @@ from alphazero_gomoku_tpu.search.tree import (
 )
 
 
+def _flat_board(st):
+    """[..., H, W] board -> [..., H*W]: the node-state stack stores boards
+    FLAT.  With the 4-D stack ``s8[B, N, H, W]`` XLA assigns the scan
+    carry a batch-minor layout (for the per-sim gather/update) while
+    ``env.step``/``encode`` consumers want row-major — and reconciles
+    them with a whole-stack relayout copy EVERY simulation (round-2
+    device trace: copy.127, 46 MB at 85 GB/s = 0.54 ms/sim, 25% of
+    simulation time at batch 256).  A flat minor dim admits one layout
+    for both uses; the per-lane reshape to [B, H, W] after the gather is
+    on the small array."""
+    b = st.board
+    return st._replace(board=b.reshape(b.shape[:-2] + (-1,)))
+
+
+def _unflat_board(st, h, w):
+    b = st.board
+    return st._replace(board=b.reshape(b.shape[:-1] + (h, w)))
+
+
 def run_mcts_packed(
     env,
     cfg: MCTSConfig,
@@ -89,7 +108,8 @@ def run_mcts_packed(
         z = jnp.zeros((batch, n) + x.shape[1:], x.dtype)
         return z.at[:, 0].set(x)
 
-    states = jax.tree_util.tree_map(stack_field, root_states)
+    size = env.size
+    states = jax.tree_util.tree_map(stack_field, _flat_board(root_states))
 
     # --- root priors (+ Dirichlet), same PRNG protocol as tree.py --------
     rng, sub = jax.random.split(rng)
@@ -112,9 +132,9 @@ def run_mcts_packed(
         expanding = action >= 0
         safe_action = jnp.maximum(action, 0)
 
-        parent_state = jax.tree_util.tree_map(
+        parent_state = _unflat_board(jax.tree_util.tree_map(
             lambda x: jax.vmap(lambda xb, i: xb[i])(x, leaf), states
-        )
+        ), size, size)
         child_state = jax.vmap(env.step)(parent_state, safe_action)
         # orphan slots (terminal/capped stops) get a copy of the stop node's
         # state; nothing ever links to them (tree._select_and_expand)
@@ -129,7 +149,7 @@ def run_mcts_packed(
                 lambda stb, wsb: jax.lax.dynamic_update_index_in_dim(
                     stb, wsb, slot, 0)
             )(st, ws),
-            states, write_state,
+            states, _flat_board(write_state),
         )
 
         obs = jax.vmap(env.encode)(write_state)
@@ -179,8 +199,9 @@ def run_mcts_packed(
                 fpu_parent=cfg.fpu_mode == "parent")
             expanding = action >= 0
             safe_action = jnp.maximum(action, 0)
-            parent_state = jax.tree_util.tree_map(
-                lambda x: jax.vmap(lambda xb, i: xb[i])(x, leaf), states)
+            parent_state = _unflat_board(jax.tree_util.tree_map(
+                lambda x: jax.vmap(lambda xb, i: xb[i])(x, leaf), states),
+                size, size)
             child_state = jax.vmap(env.step)(parent_state, safe_action)
             write_state = jax.tree_util.tree_map(
                 lambda c, p: jnp.where(
@@ -191,7 +212,7 @@ def run_mcts_packed(
                     lambda stb, wsb: jax.lax.dynamic_update_index_in_dim(
                         stb, wsb, slot, 0)
                 )(st, ws),
-                states, write_state)
+                states, _flat_board(write_state))
             legal = jax.vmap(env.legal_mask)(write_state).astype(jnp.float32)
             n_legal = jnp.maximum(
                 jnp.sum(legal, axis=-1, keepdims=True), 1.0)
