@@ -72,6 +72,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "(1 = reference parity; ~11 s/save at the 120k "
                          "production ring — raise for long runs)")
     ap.add_argument("--pretrained-model-path", default=None)
+    ap.add_argument("--candidate-model-path", default=None,
+                    help="track-mode resume: restore the candidate from "
+                         "its own snapshot (best loads "
+                         "--pretrained-model-path)")
     ap.add_argument("--next-iteration-continuation", type=int, default=1)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--value-loss-weight", type=float, default=1.0,
@@ -141,6 +145,7 @@ def main(argv=None):
         save_every=args.save_every,
         buffer_save_every=args.buffer_save_every,
         pretrained_model_path=args.pretrained_model_path,
+        candidate_model_path=args.candidate_model_path,
         next_iteration_continuation=args.next_iteration_continuation,
         dirichlet_alpha=args.dirichlet_alpha,
         dirichlet_epsilon=args.dirichlet_epsilon,

@@ -85,7 +85,8 @@ def _folded_forward_ranges(cfg: NetConfig, folded, obs):
 
 
 def quantize_int8(cfg: NetConfig, params, batch_stats,
-                  calib_obs) -> Dict[str, Any]:
+                  calib_obs, bias_correct: bool = True,
+                  f32_last_blocks: int = 0) -> Dict[str, Any]:
     """Build the int8 inference bundle from training params + calib states.
 
     ``calib_obs``: [N, H, W, Cin] f32 representative observations (a few
@@ -121,8 +122,17 @@ def quantize_int8(cfg: NetConfig, params, batch_stats,
     out["stem_w"], out["stem_scale"] = qconv_weights(folded["stem_w"], s_obs)
     out["stem_b"] = folded["stem_b"]
 
+    n_blocks = len(folded["blocks"])
     blocks = []
     for i, blk in enumerate(folded["blocks"]):
+        if i >= n_blocks - f32_last_blocks:
+            # output-adjacent blocks carry the most decision-relevant
+            # signal; keeping the tail in f32 trades back ~1/L of the
+            # speedup per block for accuracy
+            blocks.append({"f32": True,
+                           "w1": blk["w1"], "b1": blk["b1"],
+                           "w2": blk["w2"], "b2": blk["b2"]})
+            continue
         s_in = ranges[f"tower_in_{i}"] / QMAX          # [C]
         s_mid = ranges[f"mid_{i}"] / QMAX              # [C]
         w1q, d1 = qconv_weights(blk["w1"], s_in)
@@ -137,7 +147,72 @@ def quantize_int8(cfg: NetConfig, params, batch_stats,
     for k in ("pol_w", "pol_b", "pol_fc_w", "pol_fc_b", "val_w", "val_b",
               "val_fc1_w", "val_fc1_b", "val_fc2_w", "val_fc2_b"):
         out[k] = folded[k]
+    if bias_correct:
+        out = _bias_correct(cfg, folded, out,
+                            jnp.asarray(calib_obs, jnp.float32))
     return out
+
+
+def _bias_correct(cfg: NetConfig, folded, q, calib_obs):
+    """Fold the mean quantization error of each conv into its bias.
+
+    Post-training bias correction (Nagel et al., "Data-Free Quantization",
+    arXiv:1906.04721 §5 — the standard PTQ trick): rounding error has a
+    non-zero per-channel mean that shifts layer statistics; computing
+    ``E[y_f32 - y_int8]`` over the calibration set per OUTPUT channel and
+    adding it to the bias removes the shift at zero runtime cost.  Done
+    layer-by-layer with the f32 reference activations as each layer's
+    input, so corrections do not compound.
+    """
+    f32 = jnp.float32
+
+    def conv_f(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=f32,
+        )
+
+    def mean_err(y_ref, y_q):
+        return jnp.mean(y_ref - y_q, axis=(0, 1, 2))
+
+    @jax.jit
+    def corrections(obs):
+        errs = {}
+        # stem (obs quantization is exact for 0/1 planes, but the weight
+        # rounding error still shifts the output mean)
+        obs_q = _requant(obs, q["s_obs"])
+        y_ref = conv_f(obs, folded["stem_w"].astype(f32)) + folded["stem_b"]
+        y_q = _qconv(obs_q, q["stem_w"], q["stem_scale"], q["stem_b"])
+        errs["stem"] = mean_err(y_ref, y_q)
+        h = jax.nn.relu(y_ref)
+        for i, (blk_f, blk_q) in enumerate(zip(folded["blocks"],
+                                               q["blocks"])):
+            r = h
+            y_ref = conv_f(h, blk_f["w1"].astype(f32)) + blk_f["b1"]
+            if not blk_q.get("f32"):
+                y_q = _qconv(_requant(h, blk_q["s_in"]), blk_q["w1"],
+                             blk_q["scale1"], blk_q["b1"])
+                errs[f"b{i}_1"] = mean_err(y_ref, y_q)
+            m = jax.nn.relu(y_ref)
+            y_ref = conv_f(m, blk_f["w2"].astype(f32)) + blk_f["b2"]
+            if not blk_q.get("f32"):
+                y_q = _qconv(_requant(m, blk_q["s_mid"]), blk_q["w2"],
+                             blk_q["scale2"], blk_q["b2"])
+                errs[f"b{i}_2"] = mean_err(y_ref, y_q)
+            h = jax.nn.relu(y_ref + r)
+        return errs
+
+    errs = corrections(calib_obs)
+    q = dict(q)
+    q["stem_b"] = q["stem_b"] + errs["stem"]
+    q["blocks"] = [
+        blk if blk.get("f32") else
+        {**blk, "b1": blk["b1"] + errs[f"b{i}_1"],
+         "b2": blk["b2"] + errs[f"b{i}_2"]}
+        for i, blk in enumerate(q["blocks"])
+    ]
+    return q
 
 
 # ----------------------------------------------------------------------
@@ -166,14 +241,27 @@ def int8_apply(cfg: NetConfig, q, obs) -> Tuple[jax.Array, jax.Array]:
     and the heads stay f32.
     """
     f32 = jnp.float32
+
+    def conv_f(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=f32,
+        )
+
     obs_q = _requant(obs.astype(f32), q["s_obs"])
     h = jax.nn.relu(_qconv(obs_q, q["stem_w"], q["stem_scale"], q["stem_b"]))
     for blk in q["blocks"]:
         r = h
-        h_q = _requant(h, blk["s_in"])
-        m = jax.nn.relu(_qconv(h_q, blk["w1"], blk["scale1"], blk["b1"]))
-        m_q = _requant(m, blk["s_mid"])
-        y = _qconv(m_q, blk["w2"], blk["scale2"], blk["b2"])
+        if blk.get("f32"):
+            m = jax.nn.relu(conv_f(h, blk["w1"]) + blk["b1"])
+            y = conv_f(m, blk["w2"]) + blk["b2"]
+        else:
+            h_q = _requant(h, blk["s_in"])
+            m = jax.nn.relu(_qconv(h_q, blk["w1"], blk["scale1"],
+                                   blk["b1"]))
+            m_q = _requant(m, blk["s_mid"])
+            y = _qconv(m_q, blk["w2"], blk["scale2"], blk["b2"])
         h = jax.nn.relu(y + r)
 
     b = h.shape[0]

@@ -145,6 +145,7 @@ def train_alphazero(
     # samples, never the model.
     buffer_save_every: int = 1,
     pretrained_model_path: Optional[str] = None,
+    candidate_model_path: Optional[str] = None,
     next_iteration_continuation: int = 1,
     # --- MCTS Dirichlet noise ---
     dirichlet_alpha: float = 0.03,
@@ -272,7 +273,15 @@ def train_alphazero(
         log("no pretrained model found; initializing fresh weights")
         model_best = new_model()
     model_candidate = new_model()
-    model_candidate.copy_weights_from(model_best)
+    if candidate_model_path and os.path.exists(candidate_model_path):
+        # track-mode resume: the candidate trains on past `best`, so a
+        # restart must restore it from its own snapshot, not from best
+        # (which would silently discard all gateless progress since the
+        # last promotion)
+        log(f"loading candidate model: {candidate_model_path}")
+        model_candidate.load(candidate_model_path)
+    else:
+        model_candidate.copy_weights_from(model_best)
 
     model_anchor = None
     if anchor_arena_every > 0:
@@ -616,7 +625,12 @@ def train_alphazero(
                 snapshot_path = os.path.join(
                     model_dir, f"snapshot_iter{it}_{ts}.ckpt"
                 )
-                model_best.save(snapshot_path)
+                # snapshots persist the CANDIDATE: in reset mode it equals
+                # best after gating (identical behaviour), and in track
+                # mode it is the evolving net — the thing the post-hoc
+                # peak harvest (tools/harvest_run.py) needs; best-only
+                # snapshots would all be the unchanged starting weights
+                model_candidate.save(snapshot_path)
                 # stable alias used by the player plugins' default model_path
                 model_best.save(os.path.join(model_dir, "best_latest.ckpt"))
                 log(f" saved snapshot: {snapshot_path}")

@@ -206,6 +206,20 @@ def test_gate_mode_track_keeps_best_frozen_on_rejection(tmp_path):
         train_alphazero(gate_mode="bogus", model_dir=str(tmp_path / "x"),
                         **common)
 
+    # snapshots persist the CANDIDATE (which trained on), not the frozen
+    # best — otherwise track-mode runs leave nothing for the peak harvest
+    import glob
+    snaps = sorted(glob.glob(str(tmp_path / "t" / "snapshot_iter*.ckpt")))
+    assert snaps, "no snapshots written"
+    cand = AZModel(board_size=SIZE, n_res_blocks=1, channels=8)
+    cand.load(snaps[-1])
+    diffs = [
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(jax.tree_util.tree_leaves(cand.params),
+                        jax.tree_util.tree_leaves(init.params))
+    ]
+    assert max(diffs) > 0, "snapshot equals start weights: candidate drift lost"
+
 
 def test_anchor_arena_records_absolute_strength(tmp_path):
     """anchor_arena_every plays the candidate vs a frozen anchor and
