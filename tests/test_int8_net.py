@@ -109,3 +109,29 @@ def test_int8_eval_fn_shapes():
     assert probs.shape == (8, 81) and v.shape == (8, 1)
     np.testing.assert_allclose(np.asarray(jnp.sum(probs, -1)), 1.0,
                                rtol=1e-5)
+
+
+def test_f32_last_blocks_bundle_and_forward():
+    """Tail blocks stay f32 (no int8 weights) and the forward still runs."""
+    cfg = _small_cfg()
+    params, stats = _init(cfg, 3)
+    obs = _random_obs(cfg, 8)
+    q = quantize_int8(cfg, params, stats, obs, f32_last_blocks=1)
+    assert q["blocks"][0]["w1"].dtype == jnp.int8
+    assert q["blocks"][1].get("f32") and q["blocks"][1]["w1"].dtype == jnp.float32
+    ql, qv = int8_apply(cfg, q, obs)
+    assert ql.shape == (8, 81) and qv.shape == (8, 1)
+
+
+def test_bias_correction_reduces_output_error():
+    cfg = _small_cfg()
+    params, stats = _init(cfg, 4)
+    calib = _random_obs(cfg, 32, seed=5)
+    test = _random_obs(cfg, 32, seed=6)
+    (fl, _), _ = apply(cfg, params, stats, test, train=False)
+    errs = {}
+    for bc in (False, True):
+        q = quantize_int8(cfg, params, stats, calib, bias_correct=bc)
+        ql, _ = int8_apply(cfg, q, test)
+        errs[bc] = float(jnp.mean(jnp.abs(ql - fl)))
+    assert errs[True] <= errs[False] * 1.05, errs
