@@ -27,6 +27,8 @@ import numpy as np
 from alphazero_gomoku_tpu.games import make_env
 from alphazero_gomoku_tpu.models import AZModel
 from alphazero_gomoku_tpu.search import MCTSConfig, run_mcts
+from alphazero_gomoku_tpu.search.tree import (advance_root,
+                                              run_mcts_with_tree)
 from alphazero_gomoku_tpu.selfplay.loop import bundle_of, make_eval_fn
 
 
@@ -97,6 +99,7 @@ class AlphaZeroPlayer:
         n_res_blocks: int = 3,
         channels: int = 64,
         tactical_guard: bool = True,
+        tree_reuse: bool = True,
     ):
         self.rules = str(rules).lower()
         self.board_size = board_size
@@ -156,11 +159,20 @@ class AlphaZeroPlayer:
 
         # fpu_mode="parent": engine-play search quality fix (see
         # MCTSConfig.fpu_mode) — self-play/training keep the
-        # reference-exact "zero"
+        # reference-exact "zero".  tree_reuse carries the search tree
+        # across the player's own moves AND through the opponent's reply
+        # (detected by board diff), mirroring the reference trio's
+        # state-keyed node carry-over (~45% of expansions recur,
+        # tools/tt_rate_probe.py); noise stays off, so reuse only adds
+        # information.
+        self.tree_reuse = bool(tree_reuse)
         cfg = MCTSConfig(n_simulations=n_simulations, cpuct=c_puct,
-                         add_noise=False, fpu_mode="parent")
+                         add_noise=False, fpu_mode="parent",
+                         reuse_budget=n_simulations if tree_reuse else 0)
         eval_fn = make_eval_fn(self.net.cfg)
         env = self.env
+        self._trees = None
+        self._board_after_our_move: Optional[np.ndarray] = None
         self._search = jax.jit(
             lambda bundle, state, move_no, key: run_mcts(
                 env, cfg, eval_fn, bundle,
@@ -168,6 +180,47 @@ class AlphaZeroPlayer:
                 jnp.asarray([move_no], jnp.int32), key,
             )[0]
         )
+        if self.tree_reuse:
+            def _fresh(bundle, state, move_no, key):
+                pi, _, trees = run_mcts_with_tree(
+                    env, cfg, eval_fn, bundle, jnp.asarray([move_no],
+                                                           jnp.int32),
+                    key, root_states=jax.tree_util.tree_map(
+                        lambda x: x[None], state))
+                return pi[0], trees
+
+            def _resume(bundle, trees, move_no, key):
+                pi, _, trees = run_mcts_with_tree(
+                    env, cfg, eval_fn, bundle,
+                    jnp.asarray([move_no], jnp.int32), key, trees=trees)
+                return pi[0], trees
+
+            self._search_fresh = jax.jit(_fresh)
+            self._search_resume = jax.jit(_resume)
+            self._advance = jax.jit(
+                lambda trees, action: advance_root(
+                    env, cfg, trees, jnp.asarray([action], jnp.int32)))
+            self._step1 = jax.jit(env.step)
+
+    # ------------------------------------------------------------------
+    def _resume_trees_from_board(self, raw: np.ndarray, to_move: int):
+        """Advance the held tree through the opponent's reply, if the
+        board diff since our last move identifies it unambiguously
+        (exactly one added opponent stone; removed cells are ours —
+        Pente captures).  Returns advanced trees or None (fresh search)."""
+        prev = self._board_after_our_move
+        if self._trees is None or prev is None or prev.shape != raw.shape:
+            return None
+        pf, cf = prev.reshape(-1), raw.reshape(-1)
+        added = np.flatnonzero((pf == 0) & (cf != 0))
+        removed = np.flatnonzero((pf != 0) & (cf == 0))
+        changed = np.flatnonzero((pf != cf) & (pf != 0) & (cf != 0))
+        opp = 3 - to_move
+        if (len(added) != 1 or cf[added[0]] != opp or len(changed)
+                or (len(removed) and self.rules != "pente")
+                or any(pf[i] == opp for i in removed)):
+            return None
+        return self._advance(self._trees, int(added[0]))
 
     # ------------------------------------------------------------------
     def play(self, board, turn_number: int,
@@ -184,6 +237,9 @@ class AlphaZeroPlayer:
             state = self.env.from_board(raw, to_move)
         if bool(state.done):
             return None
+        trees = (self._resume_trees_from_board(raw, to_move)
+                 if self.tree_reuse else None)
+        action = None
         if self.tactical_guard:
             from alphazero_gomoku_tpu.search.pure_mcts import winning_cells
 
@@ -191,17 +247,35 @@ class AlphaZeroPlayer:
                 raw, caps if self.rules == "pente" else None)
             mine = winning_cells(view, to_move)
             if mine.any():
-                idx = int(np.flatnonzero(mine)[0])
-                return divmod(idx, self.board_size)
-            theirs = winning_cells(view, 3 - to_move)
-            if theirs.any():
-                # block (one of) the opponent's immediate wins; with two
-                # or more disjoint wins the position is lost either way
-                idx = int(np.flatnonzero(theirs)[0])
-                return divmod(idx, self.board_size)
-        pi = np.asarray(
-            self._search(bundle_of(self.net), state, int(turn_number),
-                         jax.random.PRNGKey(turn_number))
-        )
-        action = int(np.argmax(pi))
+                action = int(np.flatnonzero(mine)[0])
+            else:
+                theirs = winning_cells(view, 3 - to_move)
+                if theirs.any():
+                    # block (one of) the opponent's immediate wins; with
+                    # two or more disjoint wins it is lost either way
+                    action = int(np.flatnonzero(theirs)[0])
+        if action is None:
+            if self.tree_reuse:
+                key = jax.random.PRNGKey(turn_number)
+                if trees is not None:
+                    pi, trees = self._search_resume(
+                        bundle_of(self.net), trees, int(turn_number), key)
+                else:
+                    pi, trees = self._search_fresh(
+                        bundle_of(self.net), state, int(turn_number), key)
+                pi = np.asarray(pi)
+            else:
+                pi = np.asarray(
+                    self._search(bundle_of(self.net), state,
+                                 int(turn_number),
+                                 jax.random.PRNGKey(turn_number))
+                )
+            action = int(np.argmax(pi))
+        if self.tree_reuse:
+            # carry the tree through OUR move (guard moves may hit an
+            # unexpanded edge — advance_root falls back to a fresh root)
+            self._trees = (self._advance(trees, action)
+                           if trees is not None else None)
+            self._board_after_our_move = np.asarray(
+                self._step1(state, jnp.int32(action)).board, dtype=np.int8)
         return divmod(action, self.board_size)

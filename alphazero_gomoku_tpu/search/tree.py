@@ -97,6 +97,18 @@ class MCTSConfig:
     #     so both modes coincide (tests/test_mcts.py); the flag exists to
     #     formally cover the legacy search's semantic surface (SURVEY M2).
     terminal_value_mode: str = "always_loss"
+    # cross-move subtree reuse (opt-in; XLA backend only).  0 = off: every
+    # move searches a fresh tree (bit-exact reference-parity semantics).
+    # R > 0: callers thread the returned tree through
+    # :func:`advance_root` between moves, which re-roots at the played
+    # action and compacts the surviving subtree (BFS priority, truncated
+    # to R slots); fresh simulations then allocate slots R, R+1, ... so
+    # expansion writes stay lane-uniform dense slices.  Measured
+    # motivation: ~42-47% of a move's expansions already exist in the
+    # previous move's tree (tools/tt_rate_probe.py) — the reference gets
+    # this for free from its state-keyed node dicts
+    # (new_mcts_alpha.py:60-64,190-197).
+    reuse_budget: int = 0
 
     def __post_init__(self):
         if self.fpu_mode not in ("zero", "parent"):
@@ -111,13 +123,16 @@ class MCTSConfig:
 
     @property
     def node_capacity(self) -> int:
-        cap = self.max_nodes or (self.n_simulations + 1)
-        if cap < self.n_simulations + 1:
+        # with reuse, slots [0, reuse_budget) hold the compacted carry-over
+        # subtree and fresh simulations allocate from reuse_budget upward
+        floor = self.n_simulations + 1 + self.reuse_budget
+        cap = self.max_nodes or floor
+        if cap < floor:
             # every simulation burns one slot; a smaller capacity would make
             # slot indices run off the node arrays (silent clamped-scatter
             # corruption), so reject it outright
             raise ValueError(
-                f"max_nodes={cap} < n_simulations+1={self.n_simulations + 1}"
+                f"max_nodes={cap} < n_simulations+1+reuse_budget={floor}"
             )
         return cap
 
@@ -539,10 +554,63 @@ def run_mcts_with_q(
                                move_numbers, rng)
     if cfg.backend not in ("xla", "pallas"):
         raise ValueError(f"unknown MCTS backend: {cfg.backend!r}")
+    pi, root_q, _ = _run_mcts_xla(env, cfg, eval_fn, net_params,
+                                  root_states, move_numbers, rng,
+                                  init_trees=None)
+    return pi, root_q
+
+
+def run_mcts_with_tree(
+    env,
+    cfg: MCTSConfig,
+    eval_fn: EvalFn,
+    net_params,
+    move_numbers,
+    rng: jax.Array,
+    trees: Optional[Tree] = None,
+    root_states=None,
+) -> Tuple[jax.Array, jax.Array, Tree]:
+    """Reuse-aware search: returns ``(pi, root_q, trees)``.
+
+    The cross-move protocol (``cfg.reuse_budget > 0``; XLA backend only —
+    the packed kernels' lane-uniform slot scheme does not yet carry
+    per-lane subtree sizes):
+
+      1. First move: pass ``root_states`` (``trees=None``) — fresh trees.
+      2. Play an action; call :func:`advance_root` with the returned trees
+         and the action (repeat for the opponent's reply when driving a
+         single seat).
+      3. Pass the advanced trees back in (``root_states=None``); fresh
+         simulations allocate from slot ``reuse_budget`` and the kept
+         root statistics bias the new search — the reference's state-keyed
+         carry-over (new_mcts_alpha.py:60-64), array-tree style.
+
+    Root priors (and Dirichlet noise, when enabled) are recomputed every
+    move, matching the reference's per-move root noise refresh.
+    """
+    if trees is None:
+        if root_states is None:
+            raise ValueError("need root_states for the first move")
+        return _run_mcts_xla(env, cfg, eval_fn, net_params, root_states,
+                             move_numbers, rng, init_trees=None)
+    if cfg.reuse_budget <= 0:
+        raise ValueError("trees= requires cfg.reuse_budget > 0")
+    root_states = jax.tree_util.tree_map(lambda x: x[:, 0], trees.states)
+    return _run_mcts_xla(env, cfg, eval_fn, net_params, root_states,
+                         move_numbers, rng, init_trees=trees)
+
+
+def _run_mcts_xla(env, cfg, eval_fn, net_params, root_states, move_numbers,
+                  rng, init_trees):
     batch = root_states.done.shape[0]
     a = env.num_actions
 
-    trees = jax.vmap(lambda s: init_tree(env, cfg, s))(root_states)
+    if init_trees is None:
+        trees = jax.vmap(lambda s: init_tree(env, cfg, s))(root_states)
+        slot_base = 1
+    else:
+        trees = init_trees
+        slot_base = max(cfg.reuse_budget, 1)
 
     rng, sub = jax.random.split(rng)
     signed = root_signed_priors(env, cfg, eval_fn, net_params, root_states,
@@ -553,7 +621,9 @@ def run_mcts_with_q(
     k = cfg.leaves_per_sim
 
     def one_sim(trees, sim_idx):
-        slot = sim_idx + 1  # identical across lanes => dense slice writes
+        # identical across lanes => dense slice writes; starts above the
+        # reused-subtree prefix when resuming from advance_root
+        slot = sim_idx + slot_base
         trees, leaves, child_legal = jax.vmap(
             lambda t: _select_and_expand(env, cfg, t, slot)
         )(trees)
@@ -574,7 +644,7 @@ def run_mcts_with_q(
         shapes an unrolled k=2 macro body blew the remote-compile budget
         (>15 min) while the scanned form compiles like the k=1 program.
         """
-        base_slot = step_idx * k + 1
+        base_slot = step_idx * k + slot_base
 
         def select_j(trees, j):
             trees, leaf, legal = jax.vmap(
@@ -625,4 +695,91 @@ def run_mcts_with_q(
     pi = jnp.where(totals > 0, counts / jnp.maximum(totals, 1e-30), uniform)
     root_w = jnp.sum(trees.nw[:, 0, a:], axis=-1)
     root_q = root_w / jnp.maximum(totals[:, 0], 1.0)
-    return pi, root_q
+    return pi, root_q, trees
+
+
+# ----------------------------------------------------------------------
+# cross-move subtree reuse
+# ----------------------------------------------------------------------
+def _advance_root_single(env, cfg: MCTSConfig, tree: Tree, action) -> Tree:
+    """Re-root one game's tree at ``children[0, action]`` and compact.
+
+    The surviving subtree's nodes are renumbered to the prefix
+    ``[0, reuse_budget)`` in (depth, old-index) order — shallow nodes
+    first, so a subtree larger than the budget sheds its deepest nodes.
+    A truncated child's edge statistics survive in its parent's ``nw``
+    row; the child itself re-expands on first selection (fresh priors),
+    matching an unexpanded edge with history.  If the played action was
+    never expanded (e.g. a random opening ply), a fresh tree is built
+    from the stepped root state instead.
+    """
+    cap = cfg.node_capacity
+    budget = cfg.reuse_budget
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    r = tree.children[0, action]
+    have = r >= 0
+    r_safe = jnp.maximum(r, 0)
+
+    # reachability + depth from r, propagated down parent pointers:
+    # a node joins when its parent is reached; depth_limit sweeps cover
+    # the deepest possible subtree
+    parent = tree.parent
+    psafe = jnp.maximum(parent, 0)
+    reach0 = idx == r_safe
+    depth0 = jnp.where(reach0, 0, cap).astype(jnp.int32)
+
+    def sweep(carry, _):
+        reach, depth = carry
+        preach = reach[psafe] & (parent >= 0)
+        pdepth = depth[psafe] + 1
+        nd = jnp.where(reach, depth, jnp.where(preach, pdepth, cap))
+        return (reach | preach, nd.astype(jnp.int32)), ()
+
+    (reach, depth), _ = jax.lax.scan(
+        sweep, (reach0, depth0), None,
+        length=min(cfg.depth_limit, cap))
+
+    big = jnp.int32(2) * cap * cap
+    key = jnp.where(reach, depth * cap + idx, big)
+    order = jnp.argsort(key).astype(jnp.int32)     # keep-priority permutation
+    j = idx
+    take = (key[order] < big) & (j < budget)       # [cap] rows that survive
+
+    new_of_old = jnp.full((cap,), -1, jnp.int32).at[order].set(
+        jnp.where(take, j, -1).astype(jnp.int32))
+
+    def remap(ptr):
+        return jnp.where(ptr >= 0, new_of_old[jnp.maximum(ptr, 0)], -1)
+
+    states = jax.tree_util.tree_map(
+        lambda x: jnp.where(
+            take.reshape((-1,) + (1,) * (x.ndim - 1)), x[order],
+            jnp.zeros_like(x)),
+        tree.states)
+    prior = jnp.where(take[:, None], tree.prior[order], -1.0)
+    nw = jnp.where(take[:, None], tree.nw[order], 0.0)
+    children = jnp.where(take[:, None], remap(tree.children[order]), -1)
+    parent_new = jnp.where(take, remap(tree.parent[order]), -1)
+    parent_act = jnp.where(take, tree.parent_action[order], -1)
+    # the new root's old parent (the old root) is outside the subtree, so
+    # remap already yields -1; make it explicit anyway
+    parent_new = parent_new.at[0].set(-1)
+    parent_act = parent_act.at[0].set(-1)
+    reused = Tree(states, prior, nw, children, parent_new, parent_act)
+
+    fresh = init_tree(env, cfg,
+                      env.step(_node_state(tree, jnp.int32(0)), action))
+    return jax.tree_util.tree_map(
+        lambda a_, b_: jnp.where(have, a_, b_), reused, fresh)
+
+
+def advance_root(env, cfg: MCTSConfig, trees: Tree, actions) -> Tree:
+    """Batched re-root: one played action per lane (i32 [B]).
+
+    See :func:`run_mcts_with_tree` for the cross-move protocol.
+    """
+    if cfg.reuse_budget <= 0:
+        raise ValueError("advance_root requires cfg.reuse_budget > 0")
+    return jax.vmap(
+        lambda t, a_: _advance_root_single(env, cfg, t, a_)
+    )(trees, jnp.asarray(actions, jnp.int32))
