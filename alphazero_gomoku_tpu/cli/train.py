@@ -91,7 +91,7 @@ def build_parser() -> argparse.ArgumentParser:
                          "self-play/arena leaf evaluation "
                          "(alias for --inference fused)")
     ap.add_argument("--inference", default="f32",
-                    choices=["f32", "bf16", "fused"],
+                    choices=["f32", "bf16", "fused", "int8"],
                     help="search-time network forward: exact f32 apply, "
                          "folded-BN bfloat16 XLA, or the fused Pallas "
                          "kernel (training steps always use exact f32)")

@@ -38,6 +38,7 @@ Reference analogue: eval-mode ``predict`` (/root/reference/network.py:
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Tuple
 
 import jax
@@ -95,11 +96,35 @@ def quantize_int8(cfg: NetConfig, params, batch_stats,
     with int8 conv weights (activation channel scales pre-folded), f32
     per-Cout dequant scales and biases, per-channel requant divisors, and
     the f32 head weights — ready for :func:`int8_apply`.
+
+    The whole pipeline (BN fold, calibration forward, weight
+    quantization, bias correction) runs as ONE jitted program with
+    params/stats/obs as traced inputs, so re-quantizing after every
+    training update (selfplay/loop ``inference="int8"``) reuses a single
+    compilation — a per-call ``jax.jit`` closure here recompiled
+    remotely every iteration and cost more than it saved.
     """
+    return _quantize_core(cfg, bool(bias_correct), int(f32_last_blocks))(
+        params, batch_stats, jnp.asarray(calib_obs, jnp.float32))
+
+
+@functools.lru_cache(maxsize=None)
+def _quantize_core(cfg: NetConfig, bias_correct: bool,
+                   f32_last_blocks: int):
+    """Jitted (params, batch_stats, calib_obs) -> int8 bundle builder."""
+
+    @jax.jit
+    def build(params, batch_stats, calib_obs):
+        return _quantize_traced(cfg, bias_correct, f32_last_blocks,
+                                params, batch_stats, calib_obs)
+
+    return build
+
+
+def _quantize_traced(cfg, bias_correct, f32_last_blocks,
+                     params, batch_stats, calib_obs):
     folded = fold_bn_xla(cfg, params, batch_stats, dtype=jnp.float32)
-    ranges = jax.jit(
-        lambda o: _folded_forward_ranges(cfg, folded, o)
-    )(jnp.asarray(calib_obs, jnp.float32))
+    ranges = _folded_forward_ranges(cfg, folded, calib_obs)
     # floor tiny/dead channels so scales stay finite
     ranges = {k: jnp.maximum(v, 1e-5) for k, v in ranges.items()}
 
@@ -148,8 +173,7 @@ def quantize_int8(cfg: NetConfig, params, batch_stats,
               "val_fc1_w", "val_fc1_b", "val_fc2_w", "val_fc2_b"):
         out[k] = folded[k]
     if bias_correct:
-        out = _bias_correct(cfg, folded, out,
-                            jnp.asarray(calib_obs, jnp.float32))
+        out = _bias_correct(cfg, folded, out, calib_obs)
     return out
 
 
@@ -176,7 +200,6 @@ def _bias_correct(cfg: NetConfig, folded, q, calib_obs):
     def mean_err(y_ref, y_q):
         return jnp.mean(y_ref - y_q, axis=(0, 1, 2))
 
-    @jax.jit
     def corrections(obs):
         errs = {}
         # stem (obs quantization is exact for 0/1 planes, but the weight

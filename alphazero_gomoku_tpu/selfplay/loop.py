@@ -337,6 +337,40 @@ def train_alphazero(
                 ))
                 _fold_cache[model] = cached
             return cached[1]
+    elif inference == "int8":
+        # bias-corrected per-channel int8 search forward (ops/int8_net):
+        # strength-neutral by mirrored arena A/B (tools/int8_ab.py) and
+        # ~1.3x self-play at production batches.  Re-quantized after
+        # every parameter update, calibrated on REAL positions sampled
+        # from the replay buffer (falls back to random-play boards while
+        # the buffer is empty).  Applies to self-play AND the arenas
+        # (symmetric for both sides); the optimizer step stays f32.
+        from alphazero_gomoku_tpu.ops.int8_net import (
+            make_int8_eval_fn, quantize_int8, random_play_calib_obs)
+        eval_fn = make_int8_eval_fn(model_candidate.cfg)
+        _q_cache: dict = {}
+        _calib_rng = np.random.default_rng(seed)
+
+        def _calib_states(cfg_net):
+            n = 256
+            if len(buffer) >= n:
+                return buffer.sample(n, rng=_calib_rng)[0]
+            obs = random_play_calib_obs(cfg_net, game=game_name, n=n)
+            extra = env.obs_channels - obs.shape[-1]
+            if extra > 0:  # e.g. Pente capture planes: zero at game start
+                obs = np.concatenate(
+                    [obs, np.zeros(obs.shape[:-1] + (extra,), obs.dtype)],
+                    axis=-1)
+            return obs
+
+        def search_bundle(model):
+            cached = _q_cache.get(model)
+            if cached is None or cached[0] is not model.params:
+                cached = (model.params, quantize_int8(
+                    model.cfg, model.params, model.batch_stats,
+                    _calib_states(model.cfg)))
+                _q_cache[model] = cached
+            return cached[1]
     elif inference == "f32":
         eval_fn = make_eval_fn(model_candidate.cfg)
         search_bundle = bundle_of

@@ -166,7 +166,8 @@ def bench_pure_mcts(n_playout: int = 200, n_moves: int = 6,
 
 
 def bench_training_iteration(games: int = 128, n_simulations: int = 400,
-                             eval_games: int = 16) -> dict:
+                             eval_games: int = 16,
+                             inference: str = "int8") -> dict:
     """Config #5: one full training-loop iteration on-device.
 
     Parallel lockstep self-play -> replay buffer -> one training epoch ->
@@ -190,6 +191,7 @@ def bench_training_iteration(games: int = 128, n_simulations: int = 400,
             eval_games=eval_games, eval_mcts_simulations=n_simulations,
             n_res_blocks=6, channels=128,
             mcts_backend="pallas", mcts_max_depth=56,
+            inference=inference,
             model_dir=td, seed=7, verbose=False,
         )
     it = hist[1]

@@ -237,3 +237,18 @@ def test_anchor_arena_records_absolute_strength(tmp_path):
     a = hist[1]["anchor"]
     assert a is not None and a["played"] == 2
     assert 0.0 <= a["win_rate"] <= 1.0 and "pairs" in a
+
+
+def test_int8_inference_training_iteration(tmp_path):
+    """inference='int8': the loop re-quantizes each update (buffer-state
+    calibration once samples exist) and completes an iteration."""
+    hist = train_alphazero(
+        game_name="gomoku", board_size=SIZE, num_iterations=2,
+        games_per_iteration=2, n_simulations=8, buffer_size=256,
+        batch_size=16, epochs_per_iter=1, temp_threshold=4,
+        eval_games=2, eval_mcts_simulations=4, n_res_blocks=1, channels=8,
+        inference="int8", model_dir=str(tmp_path / "q"), seed=11,
+        verbose=False, mesh=None,
+    )
+    assert len(hist) == 2
+    assert hist[-1]["buffer_size"] > 0
