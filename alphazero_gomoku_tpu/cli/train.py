@@ -44,6 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "is reference-exact; 'parent' inherits the node "
                          "mean (keeps search coherent when the value head "
                          "is extreme; see MCTSConfig.fpu_mode)")
+    ap.add_argument("--mcts-reuse-budget", type=int, default=0,
+                    help="self-play cross-move subtree reuse: keep up to "
+                         "N nodes of the played subtree between moves "
+                         "(0 = off, reference-exact; requires "
+                         "--mcts-backend pallas)")
     ap.add_argument("--mcts-leaves-per-sim", type=int, default=1,
                     help="k leaves selected (with virtual loss) per "
                          "network call; 1 = reference-exact sequential "
@@ -154,6 +159,7 @@ def main(argv=None):
         mcts_backend=args.mcts_backend,
         mcts_leaves_per_sim=args.mcts_leaves_per_sim,
         mcts_fpu_mode=args.mcts_fpu_mode,
+        mcts_reuse_budget=args.mcts_reuse_budget,
         anchor_arena_every=args.anchor_arena_every,
         anchor_model_path=args.anchor_model_path,
         gate_mode=args.gate_mode,

@@ -32,6 +32,8 @@ deltas, all of which apply here unchanged).
 
 from __future__ import annotations
 
+from typing import Any, NamedTuple, Optional
+
 import jax
 import jax.numpy as jnp
 
@@ -68,6 +70,22 @@ def _unflat_board(st, h, w):
     return st._replace(board=b.reshape(b.shape[:-1] + (h, w)))
 
 
+class PackedCarry(NamedTuple):
+    """Packed tree + sidecar state threaded across moves for subtree reuse.
+
+    ``parent``/``parent_action`` ([B, n_nodes] i32, -1 at roots/orphans)
+    are maintained by the XLA glue (dense lane-uniform writes at the
+    expansion slot — the packed rows themselves hold only child links)
+    solely so :func:`packed_advance_root` can run the same parent-pointer
+    reachability sweeps as ``tree._advance_root_single``.
+    """
+
+    packed: jax.Array
+    states: Any          # flat-board node-state stack pytree
+    parent: jax.Array
+    parent_action: jax.Array
+
+
 def run_mcts_packed(
     env,
     cfg: MCTSConfig,
@@ -85,15 +103,67 @@ def run_mcts_packed(
     ``tests/test_tree_kernels.py``.  ``interpret=None`` auto-selects the
     Pallas interpreter off-TPU (CPU tests/debug) and Mosaic on TPU.
     """
+    pi, root_q, _ = run_mcts_packed_with_tree(
+        env, cfg, eval_fn, net_params, move_numbers, rng,
+        root_states=root_states, interpret=interpret)
+    return pi, root_q
+
+
+def run_mcts_packed_with_tree(
+    env,
+    cfg: MCTSConfig,
+    eval_fn: EvalFn,
+    net_params,
+    move_numbers,
+    rng: jax.Array,
+    carry: Optional[PackedCarry] = None,
+    root_states=None,
+    interpret: bool = None,
+):
+    """Reuse-aware packed search: returns ``(pi, root_q, PackedCarry)``.
+
+    Packed mirror of ``tree.run_mcts_with_tree``: with
+    ``cfg.reuse_budget > 0`` thread the returned carry through
+    :func:`packed_advance_root` between moves and pass it back in; fresh
+    simulations then allocate slots from ``reuse_budget`` upward —
+    lane-uniform because the compaction always renumbers survivors to the
+    ``[0, reuse_budget)`` prefix, so the backup kernel's scalar-slot
+    scheme carries over unchanged.  Root priors (and Dirichlet noise) are
+    recomputed every move; the carried root row keeps its N/W statistics
+    and child links.
+    """
     if interpret is None:
         # Mosaic-compile on accelerators (incl. the axon TPU plugin);
         # interpret on the CPU backend (tests/debug)
         interpret = jax.default_backend() == "cpu"
-    batch = root_states.done.shape[0]
+    reuse = cfg.reuse_budget > 0
+    if reuse and cfg.leaves_per_sim > 1:
+        raise ValueError("subtree reuse is not supported with "
+                         "leaves_per_sim > 1")
+    if carry is not None and not reuse:
+        raise ValueError("carry= requires cfg.reuse_budget > 0")
     a = env.num_actions
     n = cfg.node_capacity
     layout = packed_layout(a, n)
     s = layout.seg
+    size = env.size
+
+    if carry is not None:
+        packed, states, parent, pact_arr = carry
+        if root_states is None:
+            root_states = _unflat_board(
+                jax.tree_util.tree_map(lambda x: x[:, 0], states),
+                size, size)
+        # else: caller-authoritative roots (the self-play runner passes its
+        # own game states — identical to the carried roots for live lanes;
+        # finished lanes carry junk trees whose pi is masked downstream)
+        batch = root_states.done.shape[0]
+        slot_base = cfg.reuse_budget
+    else:
+        if root_states is None:
+            raise ValueError("need root_states for the first move")
+        batch = root_states.done.shape[0]
+        slot_base = 1
 
     def compose_rows(signed_priors, done):
         """[B, A] signed priors + [B] done -> fresh packed rows [B, R]."""
@@ -103,27 +173,38 @@ def run_mcts_packed(
         row = row.at[:, 4 * s].set(done.astype(jnp.float32))
         return row
 
-    # --- states stack [B, N, ...] with the root at node 0 ----------------
-    def stack_field(x):
-        z = jnp.zeros((batch, n) + x.shape[1:], x.dtype)
-        return z.at[:, 0].set(x)
-
-    size = env.size
-    states = jax.tree_util.tree_map(stack_field, _flat_board(root_states))
-
     # --- root priors (+ Dirichlet), same PRNG protocol as tree.py --------
     rng, sub = jax.random.split(rng)
     signed = root_signed_priors(env, cfg, eval_fn, net_params, root_states,
                                 move_numbers, sub)
 
-    packed = jnp.zeros((batch, layout.n_nodes, layout.row), jnp.float32)
-    packed = packed.at[:, :, 3 * s:3 * s + a].set(-1.0)
-    packed = packed.at[:, 0, :].set(compose_rows(signed, root_states.done))
+    if carry is None:
+        # --- states stack [B, N, ...] with the root at node 0 ------------
+        def stack_field(x):
+            z = jnp.zeros((batch, n) + x.shape[1:], x.dtype)
+            return z.at[:, 0].set(x)
+
+        states = jax.tree_util.tree_map(stack_field,
+                                        _flat_board(root_states))
+        packed = jnp.zeros((batch, layout.n_nodes, layout.row), jnp.float32)
+        packed = packed.at[:, :, 3 * s:3 * s + a].set(-1.0)
+        packed = packed.at[:, 0, :].set(
+            compose_rows(signed, root_states.done))
+        parent = jnp.full((batch, layout.n_nodes), -1, jnp.int32)
+        pact_arr = jnp.full((batch, layout.n_nodes), -1, jnp.int32)
+    else:
+        # refresh the root prior segment + done flag; N/W/children carry
+        packed = packed.at[:, 0, 2 * s:2 * s + a].set(signed)
+        packed = packed.at[:, 0, 4 * s].set(
+            root_states.done.astype(jnp.float32))
 
     # --- simulations ------------------------------------------------------
     def one_sim(carry, sim_idx):
-        packed, states = carry
-        slot = sim_idx + 1
+        if reuse:
+            packed, states, parent, pact_arr = carry
+        else:
+            packed, states = carry
+        slot = sim_idx + slot_base
 
         leaf, action, pnodes, pacts, plen = select_walk(
             packed, layout, cfg.cpuct, cfg.depth_limit, interpret=interpret,
@@ -176,6 +257,12 @@ def run_mcts_packed(
             signed_priors=jax.vmap(_signed_priors)(probs, legal),
             done=write_state.done, interpret=interpret,
         )
+        if reuse:
+            # sidecar parent pointers for packed_advance_root (dense
+            # lane-uniform column writes; tiny next to the tree itself)
+            parent = parent.at[:, slot].set(jnp.where(expanding, leaf, -1))
+            pact_arr = pact_arr.at[:, slot].set(action)
+            return (packed, states, parent, pact_arr), None
         return (packed, states), None
 
     def one_macro(carry, step_idx):
@@ -261,12 +348,18 @@ def run_mcts_packed(
         return (packed, states), None
 
     if cfg.leaves_per_sim == 1:
-        (packed, _), _ = jax.lax.scan(
-            one_sim, (packed, states),
-            jnp.arange(cfg.n_simulations, dtype=jnp.int32),
-        )
+        if reuse:
+            (packed, states, parent, pact_arr), _ = jax.lax.scan(
+                one_sim, (packed, states, parent, pact_arr),
+                jnp.arange(cfg.n_simulations, dtype=jnp.int32),
+            )
+        else:
+            (packed, states), _ = jax.lax.scan(
+                one_sim, (packed, states),
+                jnp.arange(cfg.n_simulations, dtype=jnp.int32),
+            )
     else:
-        (packed, _), _ = jax.lax.scan(
+        (packed, states), _ = jax.lax.scan(
             one_macro, (packed, states),
             jnp.arange(cfg.n_simulations // cfg.leaves_per_sim,
                        dtype=jnp.int32),
@@ -281,4 +374,136 @@ def run_mcts_packed(
     pi = jnp.where(totals > 0, counts / jnp.maximum(totals, 1e-30), uniform)
     root_w = jnp.sum(packed[:, 0, s:s + a], axis=-1)
     root_q = root_w / jnp.maximum(totals[:, 0], 1.0)
-    return pi, root_q
+    return pi, root_q, PackedCarry(packed, states, parent, pact_arr)
+
+
+# ----------------------------------------------------------------------
+# cross-move subtree reuse (packed layout)
+# ----------------------------------------------------------------------
+def packed_advance_root(env, cfg: MCTSConfig, carry: PackedCarry,
+                        actions) -> PackedCarry:
+    """Re-root each lane's packed tree at the played action and compact.
+
+    Packed mirror of ``tree.advance_root`` (same (depth, old-index)
+    keep-priority, same ``reuse_budget`` truncation, same fresh-root
+    fallback for unexpanded actions), operating on whole packed rows:
+    survivors are gathered to the ``[0, reuse_budget)`` prefix, the child
+    links INSIDE the rows are renumbered, dropped rows become orphan rows
+    (zero stats, children -1) exactly matching the fresh-region invariant
+    the backup kernel's slot-row compose relies on.  Runs once per MOVE
+    as plain XLA (one gather over the tree ~ a couple of ms), so the
+    round-3 "no XLA writes to packed inside the sim scan" rule is not in
+    play here.
+    """
+    if cfg.reuse_budget <= 0:
+        raise ValueError("packed_advance_root requires cfg.reuse_budget > 0")
+    a = env.num_actions
+    layout = packed_layout(a, cfg.node_capacity)
+    size = env.size
+
+    def single(packed, states, parent, pact, action):
+        cap = layout.n_nodes
+        s = layout.seg
+        budget = cfg.reuse_budget
+        idx = jnp.arange(cap, dtype=jnp.int32)
+        r = packed[0, 3 * s + action].astype(jnp.int32)
+        have = r >= 0
+        r_safe = jnp.maximum(r, 0)
+
+        psafe = jnp.maximum(parent, 0)
+        reach0 = idx == r_safe
+        depth0 = jnp.where(reach0, 0, cap).astype(jnp.int32)
+
+        def sweep(c, _):
+            reach, depth = c
+            preach = reach[psafe] & (parent >= 0)
+            nd = jnp.where(reach, depth,
+                           jnp.where(preach, depth[psafe] + 1, cap))
+            return (reach | preach, nd.astype(jnp.int32)), ()
+
+        (reach, depth), _ = jax.lax.scan(
+            sweep, (reach0, depth0), None,
+            length=min(cfg.depth_limit, cap))
+
+        big = jnp.int32(2) * cap * cap
+        key = jnp.where(reach, depth * cap + idx, big)
+        order = jnp.argsort(key).astype(jnp.int32)
+        take = (key[order] < big) & (idx < budget)
+
+        new_of_old = jnp.full((cap,), -1, jnp.int32).at[order].set(
+            jnp.where(take, idx, -1).astype(jnp.int32))
+
+        def remap(ptr):
+            return jnp.where(ptr >= 0, new_of_old[jnp.maximum(ptr, 0)], -1)
+
+        rows = packed[order]                              # [cap, row]
+        ch = remap(rows[:, 3 * s:3 * s + a].astype(jnp.int32))
+        rows = rows.at[:, 3 * s:3 * s + a].set(ch.astype(jnp.float32))
+        rows = jnp.where(take[:, None], rows, 0.0)
+        # orphan/fresh rows must carry children = -1 (the backup kernel's
+        # slot-row compose writes only priors + done)
+        rows = rows.at[:, 3 * s:3 * s + a].set(
+            jnp.where(take[:, None], rows[:, 3 * s:3 * s + a], -1.0))
+
+        # the state stack has cfg.node_capacity rows while packed/parent
+        # are padded to the 8-row DMA group (layout.n_nodes); survivors
+        # all rank below reuse_budget <= node_capacity, so the stack only
+        # needs the ranking's prefix (OOB gather indices of padding ranks
+        # clamp and are masked to zero)
+        n_stack = states.done.shape[0]
+        order_s = order[:n_stack]
+        take_s = take[:n_stack]
+        new_states = jax.tree_util.tree_map(
+            lambda x: jnp.where(
+                take_s.reshape((-1,) + (1,) * (x.ndim - 1)), x[order_s],
+                jnp.zeros_like(x)),
+            states)
+        new_parent = jnp.where(take, remap(parent[order]), -1).at[0].set(-1)
+        new_pact = jnp.where(take, pact[order], -1).at[0].set(-1)
+
+        # fresh fallback: the played action was never expanded
+        root_state = _unflat_board(
+            jax.tree_util.tree_map(lambda x: x[0], states), size, size)
+        stepped = _flat_board(env.step(root_state, action))
+        fresh_rows = jnp.zeros_like(rows)
+        fresh_rows = fresh_rows.at[:, 3 * s:3 * s + a].set(-1.0)
+        fresh_states = jax.tree_util.tree_map(
+            lambda x, st: jnp.zeros_like(x).at[0].set(st),
+            states, stepped)
+        no_tree = jnp.full_like(new_parent, -1)
+
+        pick = lambda yes, no: jnp.where(have, yes, no)
+        out_states = jax.tree_util.tree_map(pick, new_states, fresh_states)
+        return (pick(rows, fresh_rows), out_states,
+                pick(new_parent, no_tree), pick(new_pact, no_tree))
+
+    packed, states, parent, pact = jax.vmap(single)(
+        carry.packed, carry.states, carry.parent, carry.parent_action,
+        jnp.asarray(actions, jnp.int32))
+    return PackedCarry(packed, states, parent, pact)
+
+
+def init_packed_carry(env, cfg: MCTSConfig, root_states) -> PackedCarry:
+    """Empty-tree carry for ``root_states``: searching with this carry is
+    semantically identical to a fresh search (zero stats, children -1;
+    node indices shift by ``reuse_budget - 1``, which PUCT never sees).
+    Lets the self-play runner keep a structurally-fixed while_loop carry
+    from move 0."""
+    if cfg.reuse_budget <= 0:
+        raise ValueError("init_packed_carry requires cfg.reuse_budget > 0")
+    a = env.num_actions
+    layout = packed_layout(a, cfg.node_capacity)
+    s = layout.seg
+    batch = root_states.done.shape[0]
+    n = cfg.node_capacity
+
+    def stack_field(x):
+        z = jnp.zeros((batch, n) + x.shape[1:], x.dtype)
+        return z.at[:, 0].set(x)
+
+    states = jax.tree_util.tree_map(stack_field, _flat_board(root_states))
+    packed = jnp.zeros((batch, layout.n_nodes, layout.row), jnp.float32)
+    packed = packed.at[:, :, 3 * s:3 * s + a].set(-1.0)
+    parent = jnp.full((batch, layout.n_nodes), -1, jnp.int32)
+    pact = jnp.full((batch, layout.n_nodes), -1, jnp.int32)
+    return PackedCarry(packed, states, parent, pact)

@@ -155,6 +155,7 @@ def train_alphazero(
     mcts_backend: str = "xla",         # "xla" | "pallas" (tree kernels)
     mcts_leaves_per_sim: int = 1,      # k leaves per NN call (virtual loss)
     mcts_fpu_mode: str = "zero",       # "zero" (reference) | "parent"
+    mcts_reuse_budget: int = 0,        # self-play subtree reuse (pallas)
     # hold-out anchor arena: every N iterations (0 = off) the candidate
     # also plays a FIXED anchor net — by default a frozen copy of the
     # starting weights, or the checkpoint at anchor_model_path. Unlike
@@ -392,6 +393,7 @@ def train_alphazero(
             backend=mcts_backend,
             leaves_per_sim=mcts_leaves_per_sim,
             fpu_mode=mcts_fpu_mode,
+            reuse_budget=mcts_reuse_budget,
         ),
     )
     arena_cfg = MCTSConfig(

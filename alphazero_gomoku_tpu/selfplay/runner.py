@@ -128,6 +128,23 @@ def play_games(
     size = env.size
     center = center_mask(env)
 
+    # cross-move subtree reuse (cfg.mcts.reuse_budget > 0): the packed
+    # tree is threaded through the move loop and re-rooted at every
+    # played action, so each move's search starts with ~45% of its
+    # expansions already in place (tools/tt_rate_probe.py).  Packed
+    # backend only — the XLA backend's reuse entry exists but self-play
+    # runs pallas in production.
+    reuse = cfg.mcts.reuse_budget > 0
+    if reuse and (cfg.mcts.backend != "pallas" or batch < 8):
+        raise ValueError(
+            "self-play subtree reuse requires backend='pallas' and "
+            "batch_games >= 8 (the packed kernels' lane floor)")
+    if reuse:
+        from alphazero_gomoku_tpu.search.tree_pallas import (
+            init_packed_carry, packed_advance_root,
+            run_mcts_packed_with_tree)
+        tree0 = init_packed_carry(env, cfg.mcts, states0)
+
     buffers0 = (
         jnp.zeros((max_moves, batch, size, size), jnp.int8),      # boards
         jnp.zeros((max_moves, batch), jnp.int32),                 # players
@@ -138,18 +155,31 @@ def play_games(
     )
 
     def cond(carry):
-        states, _, t, _ = carry
+        if reuse:
+            states, _, t, _, _ = carry
+        else:
+            states, _, t, _ = carry
         return (t < max_moves) & ~jnp.all(states.done)
 
     def body(carry):
-        states, rng, t, bufs = carry
+        if reuse:
+            states, rng, t, bufs, tree = carry
+        else:
+            states, rng, t, bufs = carry
         rng, k_search, k_sample, k_open = jax.random.split(rng, 4)
         active = ~states.done
 
-        pi, root_q = run_mcts_with_q(
-            env, cfg.mcts, eval_fn, net_params, states,
-            jnp.full((batch,), t, jnp.int32), k_search,
-        )
+        if reuse:
+            pi, root_q, tree = run_mcts_packed_with_tree(
+                env, cfg.mcts, eval_fn, net_params,
+                jnp.full((batch,), t, jnp.int32), k_search,
+                carry=tree, root_states=states,
+            )
+        else:
+            pi, root_q = run_mcts_with_q(
+                env, cfg.mcts, eval_fn, net_params, states,
+                jnp.full((batch,), t, jnp.int32), k_search,
+            )
         temp = jnp.maximum(
             0.0, 1.0 - t.astype(jnp.float32) / cfg.temp_threshold
         )
@@ -179,11 +209,19 @@ def play_games(
             caps_b.at[t].set(step_caps),
         )
         states = jax.vmap(env.step_safe)(states, actions)
+        if reuse:
+            tree = packed_advance_root(env, cfg.mcts, tree, actions)
+            return (states, rng, t + 1, bufs, tree)
         return (states, rng, t + 1, bufs)
 
-    final_states, _, _, (boards, players, pis, root_qs, active, captures) = (
-        jax.lax.while_loop(cond, body, (states0, rng, jnp.int32(0), buffers0))
-    )
+    if reuse:
+        init = (states0, rng, jnp.int32(0), buffers0, tree0)
+        final_states, _, _, bufs_out, _ = jax.lax.while_loop(
+            cond, body, init)
+    else:
+        final_states, _, _, bufs_out = jax.lax.while_loop(
+            cond, body, (states0, rng, jnp.int32(0), buffers0))
+    (boards, players, pis, root_qs, active, captures) = bufs_out
     return Trajectories(
         boards=boards,
         players=players,

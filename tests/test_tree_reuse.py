@@ -144,3 +144,77 @@ def test_player_reuses_tree_across_moves():
     assert resumed is not None
     mv2 = p.play(board, 2, tuple(empty[0]))
     assert board[mv2] == 0
+
+
+def test_packed_reuse_matches_xla_backend():
+    """Packed-backend reuse (interpret mode) is bit-identical to the XLA
+    backend across an advance: same pi at move 1, after advancing through
+    the same action, and at the resumed move 2."""
+    from alphazero_gomoku_tpu.search.tree_pallas import (
+        packed_advance_root, run_mcts_packed_with_tree)
+
+    env = make_env("gomoku", SIZE)
+    cfg = _cfg(n_simulations=24, reuse_budget=16)
+    batch = 8  # packed kernels need >= 8 lanes
+    states = env.init_batch(batch)
+    mn = jnp.zeros((batch,), jnp.int32)
+    key1, key2 = jax.random.PRNGKey(3), jax.random.PRNGKey(4)
+
+    pi_x, q_x, trees = run_mcts_with_tree(env, cfg, peaked_eval, None, mn,
+                                          key1, root_states=states)
+    pi_p, q_p, carry = run_mcts_packed_with_tree(
+        env, cfg, peaked_eval, None, mn, key1, root_states=states,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(pi_x), np.asarray(pi_p))
+
+    acts = jnp.argmax(pi_x, -1).astype(jnp.int32)
+    trees2 = advance_root(env, cfg, trees, acts)
+    carry2 = packed_advance_root(env, cfg, carry, acts)
+    # carried root rows agree: N/W of the new root
+    A = SIZE * SIZE
+    from alphazero_gomoku_tpu.ops.tree_kernels import packed_layout
+    s = packed_layout(A, cfg.node_capacity).seg
+    np.testing.assert_allclose(np.asarray(carry2.packed[:, 0, 0:A]),
+                               np.asarray(trees2.nw[:, 0, :A]))
+    np.testing.assert_allclose(np.asarray(carry2.packed[:, 0, s:s + A]),
+                               np.asarray(trees2.nw[:, 0, A:]))
+
+    pi_x2, _, _ = run_mcts_with_tree(env, cfg, peaked_eval, None, mn + 1,
+                                     key2, trees=trees2)
+    pi_p2, _, _ = run_mcts_packed_with_tree(
+        env, cfg, peaked_eval, None, mn + 1, key2, carry=carry2,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(pi_x2), np.asarray(pi_p2))
+
+
+def test_selfplay_runner_with_reuse():
+    """play_games threads the packed tree across moves (reuse on) and
+    produces valid trajectories; reuse off stays bit-identical to before."""
+    import dataclasses
+    import functools
+    from alphazero_gomoku_tpu.selfplay import SelfPlayConfig
+    from alphazero_gomoku_tpu.selfplay.runner import play_games
+
+    env = make_env("gomoku", SIZE)
+    base = SelfPlayConfig(
+        batch_games=8, temp_threshold=4,
+        mcts=MCTSConfig(n_simulations=12, max_depth=10, backend="pallas",
+                        reuse_budget=8),
+    )
+    cfg = dataclasses.replace(base, max_moves=16)
+    traj = jax.jit(functools.partial(play_games, env, cfg, peaked_eval))(
+        None, jax.random.PRNGKey(5))
+    pis = np.asarray(traj.pis)
+    active = np.asarray(traj.active)
+    moves = int(np.asarray(traj.moves_played).sum())
+    assert moves > 0
+    # recorded policies on active plies are proper distributions
+    sums = pis[active].sum(-1)
+    np.testing.assert_allclose(sums, 1.0, atol=1e-4)
+
+    with pytest.raises(ValueError, match="reuse"):
+        bad = dataclasses.replace(
+            base, max_moves=8,
+            mcts=MCTSConfig(n_simulations=12, backend="xla",
+                            reuse_budget=8))
+        play_games(env, bad, peaked_eval, None, jax.random.PRNGKey(0))
