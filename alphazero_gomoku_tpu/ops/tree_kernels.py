@@ -37,6 +37,7 @@ policies.  Reference search semantics:
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -48,11 +49,14 @@ NEG_INF = -1e9
 GROUP = 8  # f32 sublane tile: DMA slices must move whole 8-row groups
 
 # lanes processed per grid step: the kernels' VMEM scratch is
-# [tile, GROUP, row] (~4.7 MB at the production row width) and the scoped
-# VMEM limit is 16 MB, so one step cannot hold much more than ~128 lanes
-# of group buffers — larger game batches run as a sequential lane-tile
-# grid (lanes are independent; results are identical).
-LANE_TILE = 128
+# [tile, GROUP, row] (~4.7 MB at 128 lanes x the production row width)
+# and the scoped VMEM limit is 16 MB — larger game batches run as a
+# sequential lane-tile grid (lanes are independent; results are
+# identical).  Grid steps serialize, so a bigger tile = more concurrent
+# group DMAs per hop; at the production row (1152 f32) a 256-lane tile
+# is 9.4 MB and still fits, halving the select/backup hop count at game
+# batch 256.  Overridable via AZG_LANE_TILE for envelope probes.
+LANE_TILE = int(os.environ.get("AZG_LANE_TILE", "128"))
 
 
 def _lane_tiling(b: int):
