@@ -156,3 +156,33 @@ def test_packed_matches_xla_pente():
                                          key=jax.random.PRNGKey(3))
     np.testing.assert_array_equal(pi_x, pi_p)
     np.testing.assert_array_equal(q_x, q_p)
+
+def test_lane_tile_override_is_bit_identical(monkeypatch):
+    """AZG_LANE_TILE (ops/tree_kernels.LANE_TILE) only changes how many
+    lanes share a grid step; a 2x tile over the same batch must produce
+    bit-identical select-walk outputs (the envelope probe relies on it)."""
+    import alphazero_gomoku_tpu.ops.tree_kernels as tk
+    from alphazero_gomoku_tpu.ops.tree_kernels import packed_layout
+
+    rng = np.random.default_rng(0)
+    a, n_nodes, b = 49, 32, 16
+    lay = packed_layout(a, n_nodes)
+    packed = np.zeros((b, lay.n_nodes, lay.row), np.float32)
+    packed[:, 0, 2 * lay.seg:2 * lay.seg + a] = rng.random((b, a),
+                                                           dtype=np.float32)
+    for i in range(b):
+        for c in range(1, 5):
+            act = int(rng.integers(0, a))
+            packed[i, 0, 3 * lay.seg + act] = c
+            packed[i, 0, act] = float(rng.integers(1, 5))
+            packed[i, 0, lay.seg + act] = float(rng.random() * 2 - 1)
+            packed[i, c, 2 * lay.seg:2 * lay.seg + a] = rng.random(
+                a, dtype=np.float32)
+    packed = jnp.asarray(packed)
+    outs = {}
+    for tile in (8, 16):
+        monkeypatch.setattr(tk, "LANE_TILE", tile)
+        outs[tile] = [np.asarray(x) for x in
+                      tk.select_walk(packed, lay, 1.0, 6, interpret=True)]
+    for x, y in zip(outs[8], outs[16]):
+        np.testing.assert_array_equal(x, y)
