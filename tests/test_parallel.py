@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from alphazero_gomoku_tpu.games.gomoku import GomokuEnv
 from alphazero_gomoku_tpu.models import AZModel
@@ -116,3 +117,27 @@ def test_initialize_distributed_single_process_noop():
     )
     assert initialize_distributed() is False
     assert is_primary() is True
+
+
+@pytest.mark.slow
+def test_sharded_selfplay_with_subtree_reuse():
+    """Cross-move subtree reuse (PackedCarry threading) composes with the
+    shard_map self-play fan-out: per-shard batches stay above the packed
+    kernels' 8-lane floor and the carry never crosses the shard axis."""
+    mesh = make_mesh(2)
+    env = GomokuEnv(SIZE)
+    cfg = SelfPlayConfig(
+        batch_games=16, temp_threshold=4,
+        mcts=MCTSConfig(n_simulations=6, cpuct=1.0, add_noise=True,
+                        dirichlet_alpha=0.3, dirichlet_epsilon=0.25,
+                        dirichlet_moves=4, backend="pallas",
+                        reuse_budget=4, max_nodes=16),
+    )
+    fn = make_sharded_selfplay(env, cfg, fake_eval_jax, mesh)
+    traj = fn(None, jax.random.PRNGKey(0))
+    assert traj.winners.shape == (16,)
+    assert len(traj.winners.sharding.device_set) == 2
+    active = np.asarray(traj.active)
+    assert active[0].all()
+    boards = np.asarray(traj.boards)
+    assert not np.array_equal(boards[:, 0], boards[:, 8])
