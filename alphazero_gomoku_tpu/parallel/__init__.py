@@ -6,6 +6,7 @@ from alphazero_gomoku_tpu.parallel.mesh import (  # noqa: F401
     make_sharded_arena,
     make_sharded_gather_epoch,
     make_sharded_selfplay,
+    make_sharded_selfplay_continuous,
     make_sharded_train_epoch,
 )
 from alphazero_gomoku_tpu.parallel.distributed import (  # noqa: F401

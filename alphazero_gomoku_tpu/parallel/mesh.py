@@ -36,9 +36,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from alphazero_gomoku_tpu.models.model import train_step_fn
 from alphazero_gomoku_tpu.selfplay.arena import arena_half
 from alphazero_gomoku_tpu.selfplay.runner import (
+    ContinuousRecords,
     SelfPlayConfig,
     Trajectories,
     play_games,
+    play_games_continuous,
 )
 
 
@@ -87,6 +89,50 @@ def make_sharded_selfplay(env, cfg: SelfPlayConfig, eval_fn, mesh: Mesh,
         shard_fn, mesh=mesh,
         in_specs=(P(), P()),
         out_specs=traj_specs,
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def make_sharded_selfplay_continuous(env, cfg: SelfPlayConfig, eval_fn,
+                                     mesh: Mesh, total_steps: int,
+                                     axis: str = "data"):
+    """Data-parallel continuous (auto-reset) self-play.
+
+    Same fan-out as :func:`make_sharded_selfplay` for the auto-reset
+    stream (``runner.play_games_continuous``): each chip advances
+    ``batch_games/n`` independent lanes for ``total_steps`` plies; lanes
+    never communicate, so the ply axis stays replicated and the lane axis
+    shards.  Returns ``fn(net_params, rng) -> ContinuousRecords`` with
+    every ``[T, B, ...]`` record sharded on the lane axis.
+    """
+    n = mesh.devices.size
+    if cfg.batch_games % n:
+        raise ValueError(
+            f"batch_games={cfg.batch_games} not divisible by mesh size {n}"
+        )
+    local_cfg = dataclasses.replace(cfg, batch_games=cfg.batch_games // n)
+
+    def shard_fn(net_params, rng):
+        shard_idx = jax.lax.axis_index(axis)
+        local_rng = jax.random.fold_in(rng, shard_idx)
+        return play_games_continuous(env, local_cfg, eval_fn, net_params,
+                                     local_rng, total_steps)
+
+    rec_specs = ContinuousRecords(
+        boards=P(None, axis),        # [T, B, H, W]
+        players=P(None, axis),
+        pis=P(None, axis),
+        root_qs=P(None, axis),
+        recorded=P(None, axis),
+        ended=P(None, axis),
+        winners=P(None, axis),
+        captures=P(None, axis),      # [T, B, 2]
+    )
+    mapped = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=rec_specs,
         check_vma=False,
     )
     return jax.jit(mapped)

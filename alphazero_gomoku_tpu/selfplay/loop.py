@@ -406,14 +406,18 @@ def train_alphazero(
     )
     arena_half_fn = None
     if selfplay_mode == "continuous":
-        if mesh is not None:
-            log("[mesh] continuous self-play mode is single-device only; "
-                "running self-play unsharded (train/arena stay sharded)")
         steps = selfplay_steps or env.num_actions
-        selfplay_jit = jax.jit(functools.partial(
-            play_games_continuous, env, sp_cfg, eval_fn,
-            total_steps=steps,
-        ))
+        if mesh is not None:
+            from alphazero_gomoku_tpu.parallel import (
+                make_sharded_selfplay_continuous,
+            )
+            selfplay_jit = make_sharded_selfplay_continuous(
+                env, sp_cfg, eval_fn, mesh, total_steps=steps)
+        else:
+            selfplay_jit = jax.jit(functools.partial(
+                play_games_continuous, env, sp_cfg, eval_fn,
+                total_steps=steps,
+            ))
         collect = collect_examples_continuous
     elif selfplay_mode == "lockstep":
         if mesh is not None:
@@ -458,8 +462,7 @@ def train_alphazero(
         checks = [
             ("games_per_iteration (per chip)",
              games_per_iteration // n_shards
-             if selfplay_mode != "continuous" and mesh is not None
-             else games_per_iteration),
+             if mesh is not None else games_per_iteration),
             ("eval_games first half (per chip)",
              -(-((eval_games + 1) // 2) // n_shards)),
             ("eval_games second half (per chip)",
@@ -492,10 +495,11 @@ def train_alphazero(
         with timer.phase("selfplay"), trace_annotation("selfplay"):
             traj = selfplay_jit(search_bundle(model_candidate),
                                 jax.random.PRNGKey(seed * 100003 + it))
-            if mesh is not None and selfplay_mode != "continuous":
+            if mesh is not None:
                 # multi-host collection: all-gather the trajectory shards
-                # so every process can run host-side collection (on one
-                # host this is a cheap local reshard — always on, so the
+                # (lockstep Trajectories or ContinuousRecords alike) so
+                # every process can run host-side collection (on one host
+                # this is a cheap local reshard — always on, so the
                 # multi-host path is exercised by every mesh run)
                 from alphazero_gomoku_tpu.parallel import (
                     gather_trajectories,

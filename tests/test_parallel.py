@@ -141,3 +141,38 @@ def test_sharded_selfplay_with_subtree_reuse():
     assert active[0].all()
     boards = np.asarray(traj.boards)
     assert not np.array_equal(boards[:, 0], boards[:, 8])
+
+
+def test_sharded_selfplay_continuous_runs_and_shards():
+    """Continuous (auto-reset) self-play fans out over the mesh like
+    lockstep: lanes shard on the batch axis, the ply axis stays
+    replicated, and per-shard PRNG folding gives distinct streams."""
+    from alphazero_gomoku_tpu.parallel import (
+        make_sharded_selfplay_continuous,
+    )
+
+    mesh = make_mesh()
+    env = GomokuEnv(SIZE)
+    cfg = SelfPlayConfig(
+        batch_games=16, temp_threshold=4,
+        mcts=MCTSConfig(n_simulations=6, cpuct=1.0, add_noise=True,
+                        dirichlet_alpha=0.3, dirichlet_epsilon=0.25,
+                        dirichlet_moves=4),
+    )
+    fn = make_sharded_selfplay_continuous(env, cfg, fake_eval_jax, mesh,
+                                          total_steps=12)
+    rec = fn(None, jax.random.PRNGKey(0))
+    assert rec.boards.shape == (12, 16, SIZE, SIZE)
+    assert len(rec.ended.sharding.device_set) == 8
+    # every ply of every lane is a real move in continuous mode
+    assert np.asarray(rec.recorded).all()
+    boards = np.asarray(rec.boards)
+    assert not np.array_equal(boards[:, 0], boards[:, 8])
+    # collection works on the gathered records
+    from alphazero_gomoku_tpu.parallel import gather_trajectories
+    from alphazero_gomoku_tpu.selfplay.runner import (
+        collect_examples_continuous,
+    )
+    states, pis, zs, stats = collect_examples_continuous(
+        gather_trajectories(rec, mesh), use_symmetries=False)
+    assert len(states) == len(pis) == len(zs)

@@ -252,3 +252,25 @@ def test_int8_inference_training_iteration(tmp_path):
     )
     assert len(hist) == 2
     assert hist[-1]["buffer_size"] > 0
+
+
+@pytest.mark.slow
+def test_train_loop_continuous_mode_sharded(tmp_path):
+    """Continuous self-play fans out over the mesh (round-2: it was
+    single-device only); records gather for host collection like the
+    lockstep path."""
+    from alphazero_gomoku_tpu.parallel import make_mesh
+
+    hist = train_alphazero(
+        game_name="gomoku", board_size=SIZE,
+        num_iterations=1, games_per_iteration=8,
+        n_simulations=8, buffer_size=2000, batch_size=64,
+        epochs_per_iter=1, temp_threshold=4,
+        eval_games=2, eval_mcts_simulations=8,
+        n_res_blocks=1, channels=8,
+        model_dir=str(tmp_path / "m"), seed=1, verbose=False,
+        selfplay_mode="continuous", selfplay_steps=30,
+        mesh=make_mesh(),
+    )
+    assert hist[0]["moves"] == 8 * 30  # every ply is a real move
+    assert hist[0]["buffer_size"] > 0
