@@ -91,6 +91,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--opening-random-moves", type=int, default=0,
                     help="random centre plies before search play "
                          "(diversity; not recorded as samples)")
+    ap.add_argument("--selfplay-max-moves", type=int, default=0,
+                    help="self-play move cap (0 = board^2); capped games "
+                         "score draws — lower it for a draw curriculum "
+                         "that feeds the value head non-decisive lines")
     ap.add_argument("--use-fused-inference", action="store_true",
                     help="use the fused Pallas inference kernel for "
                          "self-play/arena leaf evaluation "
@@ -171,6 +175,7 @@ def main(argv=None):
         value_loss_weight=args.value_loss_weight,
         value_target_mix=args.value_target_mix,
         opening_random_moves=args.opening_random_moves,
+        selfplay_max_moves=args.selfplay_max_moves,
         use_fused_inference=args.use_fused_inference,
         inference=args.inference,
         profile_trace_dir=args.profile_trace_dir,

@@ -198,6 +198,13 @@ def train_alphazero(
     value_loss_weight: float = 1.0,    # scales the MSE term in the loss
     value_target_mix: float = 0.0,     # z <- (1-mix)*z + mix*root_search_q
     opening_random_moves: int = 0,     # random centre plies (not recorded)
+    selfplay_max_moves: int = 0,       # self-play move cap, 0 = board^2:
+                                       # a LOWER cap is the draw-curriculum
+                                       # lever — capped games score z=0,
+                                       # feeding the value head non-
+                                       # decisive lines (the blitz-
+                                       # equilibrium antidote candidate
+                                       # after run 8's opening diversity)
     # --- extras ---
     use_symmetries: bool = True,
     verbose: bool = True,
@@ -382,6 +389,7 @@ def train_alphazero(
         temp_threshold=temp_threshold,
         use_symmetries=use_symmetries,
         opening_random_moves=opening_random_moves,
+        max_moves=selfplay_max_moves,
         mcts=MCTSConfig(
             n_simulations=n_simulations,
             cpuct=cpuct,

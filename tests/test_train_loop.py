@@ -274,3 +274,21 @@ def test_train_loop_continuous_mode_sharded(tmp_path):
     )
     assert hist[0]["moves"] == 8 * 30  # every ply is a real move
     assert hist[0]["buffer_size"] > 0
+
+
+@pytest.mark.slow
+def test_train_loop_selfplay_move_cap(tmp_path):
+    """selfplay_max_moves caps lockstep games; capped games score draws
+    (the draw-curriculum lever — reference move cap: train.py:392)."""
+    hist = train_alphazero(
+        game_name="gomoku", board_size=SIZE,
+        num_iterations=1, games_per_iteration=4,
+        n_simulations=8, buffer_size=2000, batch_size=32,
+        epochs_per_iter=1, temp_threshold=4,
+        eval_games=2, eval_mcts_simulations=8,
+        n_res_blocks=1, channels=8,
+        model_dir=str(tmp_path / "m"), seed=3, verbose=False,
+        selfplay_max_moves=6, mesh=None,
+    )
+    assert hist[0]["moves"] <= 4 * 6
+    assert hist[0]["winners"][0] == 4  # 6-ply 7x7 games can't be decided
