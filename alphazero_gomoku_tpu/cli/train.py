@@ -91,6 +91,14 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--opening-random-moves", type=int, default=0,
                     help="random centre plies before search play "
                          "(diversity; not recorded as samples)")
+    ap.add_argument("--pcr-cheap-sims", type=int, default=0,
+                    help="playout cap randomization (KataGo 1902.10565): "
+                         "simulations for CHEAP plies (0 = off); cheap "
+                         "plies are value-only samples, policy trains on "
+                         "the full-simulation plies")
+    ap.add_argument("--pcr-full-prob", type=float, default=0.25,
+                    help="probability a ply runs the full search under "
+                         "playout cap randomization")
     ap.add_argument("--selfplay-max-moves", type=int, default=0,
                     help="self-play move cap (0 = board^2); capped games "
                          "score draws — lower it for a draw curriculum "
@@ -176,6 +184,8 @@ def main(argv=None):
         value_target_mix=args.value_target_mix,
         opening_random_moves=args.opening_random_moves,
         selfplay_max_moves=args.selfplay_max_moves,
+        pcr_cheap_sims=args.pcr_cheap_sims,
+        pcr_full_prob=args.pcr_full_prob,
         use_fused_inference=args.use_fused_inference,
         inference=args.inference,
         profile_trace_dir=args.profile_trace_dir,

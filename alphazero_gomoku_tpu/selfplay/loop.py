@@ -198,6 +198,11 @@ def train_alphazero(
     value_loss_weight: float = 1.0,    # scales the MSE term in the loss
     value_target_mix: float = 0.0,     # z <- (1-mix)*z + mix*root_search_q
     opening_random_moves: int = 0,     # random centre plies (not recorded)
+    # playout cap randomization (KataGo arXiv:1902.10565; see
+    # SelfPlayConfig): cheap searches on most plies — value samples at a
+    # fraction of the simulation cost; policy trains on full plies only
+    pcr_cheap_sims: int = 0,
+    pcr_full_prob: float = 0.25,
     selfplay_max_moves: int = 0,       # self-play move cap, 0 = board^2:
                                        # a LOWER cap is the draw-curriculum
                                        # lever — capped games score z=0,
@@ -390,6 +395,8 @@ def train_alphazero(
         use_symmetries=use_symmetries,
         opening_random_moves=opening_random_moves,
         max_moves=selfplay_max_moves,
+        pcr_cheap_sims=pcr_cheap_sims,
+        pcr_full_prob=pcr_full_prob,
         mcts=MCTSConfig(
             n_simulations=n_simulations,
             cpuct=cpuct,
@@ -414,6 +421,9 @@ def train_alphazero(
     )
     arena_half_fn = None
     if selfplay_mode == "continuous":
+        if pcr_cheap_sims:
+            raise ValueError("playout cap randomization is lockstep-only "
+                             "(selfplay_mode='continuous' not supported)")
         steps = selfplay_steps or env.num_actions
         if mesh is not None:
             from alphazero_gomoku_tpu.parallel import (

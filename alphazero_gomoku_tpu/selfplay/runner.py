@@ -49,6 +49,19 @@ class SelfPlayConfig:
     # opening this way in its arena (``train.py:191-198``) but not in
     # self-play — this generalizes that mechanism as an opt-in.
     opening_random_moves: int = 0
+    # Playout cap randomization (KataGo, "Accelerating Self-Play Learning
+    # in Go", arXiv:1902.10565 §3.1 — PAPERS.md): when ``pcr_cheap_sims``
+    # > 0, each ply is searched with the FULL ``mcts.n_simulations`` only
+    # with probability ``pcr_full_prob``; other plies run a cheap
+    # ``pcr_cheap_sims``-simulation search with root noise off.  Cheap
+    # plies still advance the game and still become VALUE samples (z is
+    # outcome-based), but their recorded pi is all-zero — which the KL
+    # policy loss treats as weight-0 (0*log0 convention, losses.policy_kl)
+    # — so the policy head trains only on full searches while games cost
+    # a fraction of the simulations.  The choice is batch-uniform per ply
+    # (one compiled program, two static search branches under lax.cond).
+    pcr_cheap_sims: int = 0
+    pcr_full_prob: float = 0.25
 
     def resolved_max_moves(self, env) -> int:
         return self.max_moves or env.num_actions
@@ -145,6 +158,23 @@ def play_games(
             run_mcts_packed_with_tree)
         tree0 = init_packed_carry(env, cfg.mcts, states0)
 
+    # playout cap randomization: the cheap search shares the full
+    # search's node capacity (and depth cap) so both lax.cond branches —
+    # and, under reuse, their tree carries — have identical shapes
+    pcr = cfg.pcr_cheap_sims > 0
+    if pcr:
+        if cfg.pcr_cheap_sims >= cfg.mcts.n_simulations:
+            raise ValueError(
+                f"pcr_cheap_sims={cfg.pcr_cheap_sims} must be below "
+                f"n_simulations={cfg.mcts.n_simulations}")
+        if cfg.mcts.leaves_per_sim > 1:
+            raise ValueError(
+                "playout cap randomization is not supported with "
+                "leaves_per_sim > 1")
+        cheap_mcts = dataclasses.replace(
+            cfg.mcts, n_simulations=cfg.pcr_cheap_sims, add_noise=False,
+            max_nodes=cfg.mcts.node_capacity)
+
     buffers0 = (
         jnp.zeros((max_moves, batch, size, size), jnp.int8),      # boards
         jnp.zeros((max_moves, batch), jnp.int32),                 # players
@@ -166,20 +196,33 @@ def play_games(
             states, rng, t, bufs, tree = carry
         else:
             states, rng, t, bufs = carry
-        rng, k_search, k_sample, k_open = jax.random.split(rng, 4)
+        rng, k_search, k_sample, k_open, k_pcr = jax.random.split(rng, 5)
         active = ~states.done
+        move_nums = jnp.full((batch,), t, jnp.int32)
 
-        if reuse:
-            pi, root_q, tree = run_mcts_packed_with_tree(
-                env, cfg.mcts, eval_fn, net_params,
-                jnp.full((batch,), t, jnp.int32), k_search,
-                carry=tree, root_states=states,
-            )
-        else:
+        def search(mcfg):
+            if reuse:
+                return run_mcts_packed_with_tree(
+                    env, mcfg, eval_fn, net_params, move_nums, k_search,
+                    carry=tree, root_states=states,
+                )
             pi, root_q = run_mcts_with_q(
-                env, cfg.mcts, eval_fn, net_params, states,
-                jnp.full((batch,), t, jnp.int32), k_search,
+                env, mcfg, eval_fn, net_params, states, move_nums, k_search,
             )
+            return pi, root_q
+
+        if pcr:
+            full_move = jax.random.bernoulli(k_pcr, cfg.pcr_full_prob)
+            out = jax.lax.cond(full_move,
+                               lambda: search(cfg.mcts),
+                               lambda: search(cheap_mcts))
+        else:
+            full_move = jnp.bool_(True)
+            out = search(cfg.mcts)
+        if reuse:
+            pi, root_q, tree = out
+        else:
+            pi, root_q = out
         temp = jnp.maximum(
             0.0, 1.0 - t.astype(jnp.float32) / cfg.temp_threshold
         )
@@ -200,7 +243,10 @@ def play_games(
         bufs = (
             boards_b.at[t].set(states.board),
             players_b.at[t].set(states.to_move),
-            pis_b.at[t].set(pi),
+            # cheap (playout-cap-randomized) plies record an all-zero pi:
+            # a weight-0 policy target under the KL's 0*log0 convention,
+            # while the record still trains the value head
+            pis_b.at[t].set(jnp.where(full_move, pi, jnp.zeros_like(pi))),
             rootq_b.at[t].set(root_q),
             # random-opening plies are diversity, not policy samples: the
             # search pi there would pair with a move the policy did not

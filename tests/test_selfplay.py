@@ -175,3 +175,60 @@ def test_selfplay_pente_end_to_end():
     assert np.isfinite(pis).all()
     # boards only contain 0/1/2 even with captures applied
     assert set(np.unique(np.asarray(traj.boards))) <= {0, 1, 2}
+
+
+def test_playout_cap_randomization_masks_cheap_plies():
+    """PCR (KataGo 1902.10565): cheap plies record an all-zero pi (weight-0
+    policy target) while staying active value samples; full plies record a
+    normalized pi.  The policy KL is exactly 0 on zero rows."""
+    env = GomokuEnv(SIZE)
+    cfg = SelfPlayConfig(
+        batch_games=4, temp_threshold=5,
+        pcr_cheap_sims=4, pcr_full_prob=0.5,
+        mcts=MCTSConfig(n_simulations=12, cpuct=1.25, add_noise=True,
+                        dirichlet_alpha=0.3, dirichlet_epsilon=0.25,
+                        dirichlet_moves=6),
+    )
+    traj = jax.jit(
+        lambda p, k: play_games(env, cfg, fake_eval_jax, p, k)
+    )(None, jax.random.PRNGKey(3))
+    pis = np.asarray(traj.pis)
+    active = np.asarray(traj.active)
+    sums = pis.sum(axis=-1)          # [T, B]
+    # the ply-level choice is batch-uniform: a ply is all-zero or all-pi
+    recorded = active & (sums > 0.5)
+    zeroed = active & (sums <= 0.5)
+    n_plies = int(np.asarray(traj.moves_played).max())
+    full_plies = {t for t in range(n_plies) if recorded[t].any()}
+    cheap_plies = {t for t in range(n_plies) if zeroed[t].any()}
+    assert full_plies and cheap_plies          # both kinds occurred
+    assert not (full_plies & cheap_plies)      # and never mixed in a ply
+    # full plies carry normalized policies
+    np.testing.assert_allclose(sums[recorded], 1.0, atol=1e-5)
+    # cheap records flow into collection as value-only samples
+    states, pis_c, zs, _ = collect_examples(traj, use_symmetries=False)
+    assert (np.abs(pis_c.sum(axis=-1) - 1.0) > 0.5).any()  # zero rows kept
+    # and the policy KL of a zero row is exactly zero
+    from alphazero_gomoku_tpu.models.losses import policy_kl
+    logits = jnp.asarray(np.random.default_rng(0).normal(size=(2, A)),
+                         jnp.float32)
+    zero_rows = jnp.zeros((2, A), jnp.float32)
+    assert float(policy_kl(logits, zero_rows)) == 0.0
+
+
+def test_playout_cap_randomization_composes_with_reuse():
+    """PCR's cheap/full cond branches share node capacity, so the packed
+    reuse carry threads through either branch with identical shapes."""
+    env = GomokuEnv(SIZE)
+    cfg = SelfPlayConfig(
+        batch_games=8, temp_threshold=4,
+        pcr_cheap_sims=3, pcr_full_prob=0.5, max_moves=8,
+        mcts=MCTSConfig(n_simulations=9, cpuct=1.0, add_noise=True,
+                        dirichlet_alpha=0.3, dirichlet_epsilon=0.25,
+                        dirichlet_moves=4, backend="pallas",
+                        reuse_budget=4, max_nodes=24),
+    )
+    traj = jax.jit(
+        lambda p, k: play_games(env, cfg, fake_eval_jax, p, k)
+    )(None, jax.random.PRNGKey(5))
+    assert int(np.asarray(traj.moves_played).max()) > 0
