@@ -178,6 +178,7 @@ def test_train_loop_continuous_mode(tmp_path):
     assert hist[0]["buffer_size"] > 0
 
 
+@pytest.mark.slow  # heaviest single-CPU tests (durations audit)
 def test_gate_mode_track_keeps_best_frozen_on_rejection(tmp_path):
     """gate_mode='track': a rejected candidate keeps training (no reset)
     and best never advances — the promoted/snapshotted net stays at the
@@ -221,6 +222,7 @@ def test_gate_mode_track_keeps_best_frozen_on_rejection(tmp_path):
     assert max(diffs) > 0, "snapshot equals start weights: candidate drift lost"
 
 
+@pytest.mark.slow  # heaviest single-CPU tests (durations audit)
 def test_anchor_arena_records_absolute_strength(tmp_path):
     """anchor_arena_every plays the candidate vs a frozen anchor and
     records the stats in history."""
@@ -239,6 +241,7 @@ def test_anchor_arena_records_absolute_strength(tmp_path):
     assert 0.0 <= a["win_rate"] <= 1.0 and "pairs" in a
 
 
+@pytest.mark.slow  # heaviest single-CPU tests (durations audit)
 def test_int8_inference_training_iteration(tmp_path):
     """inference='int8': the loop re-quantizes each update (buffer-state
     calibration once samples exist) and completes an iteration."""

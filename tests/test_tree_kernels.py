@@ -81,6 +81,7 @@ def test_packed_matches_xla_kleaf(k):
     np.testing.assert_array_equal(q_x, q_p)
 
 
+@pytest.mark.slow  # heaviest single-CPU tests (durations audit)
 def test_packed_matches_xla_kleaf_near_terminal():
     """k-leaf with terminal stops in the batch window (orphan slots +
     virtual-loss cancellation on terminal paths)."""

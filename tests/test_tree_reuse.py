@@ -146,6 +146,7 @@ def test_player_reuses_tree_across_moves():
     assert board[mv2] == 0
 
 
+@pytest.mark.slow  # heaviest single-CPU tests (durations audit)
 def test_packed_reuse_matches_xla_backend():
     """Packed-backend reuse (interpret mode) is bit-identical to the XLA
     backend across an advance: same pi at move 1, after advancing through
