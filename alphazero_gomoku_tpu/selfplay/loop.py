@@ -421,9 +421,6 @@ def train_alphazero(
     )
     arena_half_fn = None
     if selfplay_mode == "continuous":
-        if pcr_cheap_sims:
-            raise ValueError("playout cap randomization is lockstep-only "
-                             "(selfplay_mode='continuous' not supported)")
         steps = selfplay_steps or env.num_actions
         if mesh is not None:
             from alphazero_gomoku_tpu.parallel import (

@@ -67,6 +67,26 @@ class SelfPlayConfig:
         return self.max_moves or env.num_actions
 
 
+def _pcr_cheap_mcts(cfg: SelfPlayConfig) -> MCTSConfig:
+    """Validated cheap-search config for playout cap randomization.
+
+    Shares the full search's node capacity (and depth cap) so the
+    cheap/full ``lax.cond`` branches — and, under reuse, their tree
+    carries — have identical shapes; root noise off per KataGo §3.1.
+    """
+    if cfg.pcr_cheap_sims >= cfg.mcts.n_simulations:
+        raise ValueError(
+            f"pcr_cheap_sims={cfg.pcr_cheap_sims} must be below "
+            f"n_simulations={cfg.mcts.n_simulations}")
+    if cfg.mcts.leaves_per_sim > 1:
+        raise ValueError(
+            "playout cap randomization is not supported with "
+            "leaves_per_sim > 1")
+    return dataclasses.replace(
+        cfg.mcts, n_simulations=cfg.pcr_cheap_sims, add_noise=False,
+        max_nodes=cfg.mcts.node_capacity)
+
+
 def center_mask(env) -> jnp.ndarray:
     """f32 [A] mask of the centre 9x9 (whole board if smaller), matching the
     reference's random-opening region (``train.py:191-198``)."""
@@ -163,17 +183,7 @@ def play_games(
     # and, under reuse, their tree carries — have identical shapes
     pcr = cfg.pcr_cheap_sims > 0
     if pcr:
-        if cfg.pcr_cheap_sims >= cfg.mcts.n_simulations:
-            raise ValueError(
-                f"pcr_cheap_sims={cfg.pcr_cheap_sims} must be below "
-                f"n_simulations={cfg.mcts.n_simulations}")
-        if cfg.mcts.leaves_per_sim > 1:
-            raise ValueError(
-                "playout cap randomization is not supported with "
-                "leaves_per_sim > 1")
-        cheap_mcts = dataclasses.replace(
-            cfg.mcts, n_simulations=cfg.pcr_cheap_sims, add_noise=False,
-            max_nodes=cfg.mcts.node_capacity)
+        cheap_mcts = _pcr_cheap_mcts(cfg)
 
     buffers0 = (
         jnp.zeros((max_moves, batch, size, size), jnp.int8),      # boards
@@ -404,13 +414,26 @@ def play_games_continuous(
     max_moves = cfg.resolved_max_moves(env)
     fresh = env.init_batch(batch)
     center = center_mask(env)
+    pcr = cfg.pcr_cheap_sims > 0
+    if pcr:
+        cheap_mcts = _pcr_cheap_mcts(cfg)
 
     def one_ply(carry, _):
         states, rng = carry
-        rng, k_search, k_sample, k_open = jax.random.split(rng, 4)
+        rng, k_search, k_sample, k_open, k_pcr = jax.random.split(rng, 5)
 
-        pi, root_q = run_mcts_with_q(env, cfg.mcts, eval_fn, net_params,
-                                     states, states.move_count, k_search)
+        def search(mcfg):
+            return run_mcts_with_q(env, mcfg, eval_fn, net_params,
+                                   states, states.move_count, k_search)
+
+        if pcr:
+            full_move = jax.random.bernoulli(k_pcr, cfg.pcr_full_prob)
+            pi, root_q = jax.lax.cond(full_move,
+                                      lambda: search(cfg.mcts),
+                                      lambda: search(cheap_mcts))
+        else:
+            full_move = jnp.bool_(True)
+            pi, root_q = search(cfg.mcts)
         temp = jnp.maximum(
             0.0, 1.0 - states.move_count.astype(jnp.float32)
             / cfg.temp_threshold
@@ -441,8 +464,11 @@ def play_games_continuous(
             ),
             fresh, states,
         )
-        return (states, rng), (record_board, record_player, pi, root_q,
-                               ~is_open, ended, winners, record_caps)
+        # cheap (playout-cap-randomized) plies record a zero pi: value-only
+        # samples under the KL's 0*log0 convention (see play_games)
+        record_pi = jnp.where(full_move, pi, jnp.zeros_like(pi))
+        return (states, rng), (record_board, record_player, record_pi,
+                               root_q, ~is_open, ended, winners, record_caps)
 
     (_, _), (boards, players, pis, root_qs, recorded, ended, winners,
              captures) = (

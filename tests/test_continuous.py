@@ -115,3 +115,27 @@ def test_symmetry_expansion_continuous():
     s8, p8, z8, _ = collect_examples_continuous(rec, use_symmetries=True)
     assert len(z8) == 8 * len(z1)
     np.testing.assert_array_equal(z8[:len(z1)], z1)
+
+
+def test_continuous_playout_cap_randomization():
+    """PCR in the auto-reset stream: cheap plies record zero pis (value-only
+    samples) but stay `recorded`; full plies carry normalized pis."""
+    env = GomokuEnv(SIZE)
+    cfg = SelfPlayConfig(
+        batch_games=4, temp_threshold=4,
+        pcr_cheap_sims=4, pcr_full_prob=0.5,
+        mcts=MCTSConfig(n_simulations=12, cpuct=1.0, add_noise=True,
+                        dirichlet_alpha=0.3, dirichlet_epsilon=0.25,
+                        dirichlet_moves=4),
+    )
+    rec = jax.jit(
+        lambda p, k: play_games_continuous(env, cfg, fake_eval_jax, p, k,
+                                           total_steps=24)
+    )(None, jax.random.PRNGKey(11))
+    sums = np.asarray(rec.pis).sum(axis=-1)       # [T, B]
+    full_t = (sums > 0.5).all(axis=1)
+    cheap_t = (sums <= 0.5).all(axis=1)
+    assert (full_t | cheap_t).all()               # batch-uniform per ply
+    assert full_t.any() and cheap_t.any()
+    assert np.asarray(rec.recorded).all()         # cheap plies stay samples
+    np.testing.assert_allclose(sums[full_t], 1.0, atol=1e-5)
