@@ -541,9 +541,19 @@ def train_alphazero(
         else:
             n_moves = int(np.asarray(traj.moves_played).sum())
         sp_dt = timer.last["selfplay"]
+        pcr_note = ""
+        if pcr_cheap_sims:
+            # cheap (value-only) plies carry all-zero recorded pis
+            traj_pis = np.asarray(traj.pis)
+            valid = (np.asarray(traj.active) if selfplay_mode == "lockstep"
+                     else np.asarray(traj.recorded))
+            n_valid = max(int(valid.sum()), 1)
+            full = int(((traj_pis.sum(axis=-1) > 0.5) & valid).sum())
+            pcr_note = (f", pcr full plies {full}/{n_valid} "
+                        f"({full / n_valid:.2f})")
         log(f"self-play done: {sp_dt:.1f}s, {n_moves} moves "
             f"({n_moves / max(sp_dt, 1e-9):.1f} moves/s), winners={winners}, "
-            f"buffer={len(buffer)}")
+            f"buffer={len(buffer)}{pcr_note}")
 
         # ---- phase 2: train ------------------------------------------
         loss_info = None
