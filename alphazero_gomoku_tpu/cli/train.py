@@ -49,6 +49,16 @@ def build_parser() -> argparse.ArgumentParser:
                          "N nodes of the played subtree between moves "
                          "(0 = off, reference-exact; requires "
                          "--mcts-backend pallas)")
+    ap.add_argument("--mcts-search", default="puct",
+                    choices=["puct", "gumbel"],
+                    help="root search algorithm: 'puct' is the "
+                         "reference-parity search; 'gumbel' is Gumbel "
+                         "sequential halving (Danihelka et al. 2022) — "
+                         "policy-improvement guarantees at small "
+                         "simulation budgets, no Dirichlet/temperature "
+                         "(see search/gumbel.py)")
+    ap.add_argument("--gumbel-max-considered", type=int, default=16,
+                    help="root actions entering sequential halving")
     ap.add_argument("--mcts-leaves-per-sim", type=int, default=1,
                     help="k leaves selected (with virtual loss) per "
                          "network call; 1 = reference-exact sequential "
@@ -172,6 +182,8 @@ def main(argv=None):
         mcts_leaves_per_sim=args.mcts_leaves_per_sim,
         mcts_fpu_mode=args.mcts_fpu_mode,
         mcts_reuse_budget=args.mcts_reuse_budget,
+        mcts_search=args.mcts_search,
+        gumbel_max_considered=args.gumbel_max_considered,
         anchor_arena_every=args.anchor_arena_every,
         anchor_model_path=args.anchor_model_path,
         gate_mode=args.gate_mode,

@@ -109,10 +109,30 @@ class MCTSConfig:
     # this for free from its state-keyed node dicts
     # (new_mcts_alpha.py:60-64,190-197).
     reuse_budget: int = 0
+    # root search algorithm.  "puct": the reference-parity PUCT search
+    # (everything above).  "gumbel": Gumbel sequential halving at the
+    # root with the deterministic non-root rule and the completed-Q
+    # policy target (search/gumbel.py; Danihelka et al., ICLR 2022) — a
+    # capability beyond the reference, built for strength-per-simulation.
+    # Gumbel ignores the Dirichlet/cpuct/fpu knobs (exploration is the
+    # per-move Gumbel sample) and runs on the XLA tree ops.
+    search: str = "puct"
+    gumbel_max_considered: int = 16   # root actions entering halving
+    gumbel_c_visit: float = 50.0      # sigma(q) = (c_visit + maxN)*c_scale*q
+    gumbel_c_scale: float = 1.0
 
     def __post_init__(self):
         if self.fpu_mode not in ("zero", "parent"):
             raise ValueError(f"unknown fpu_mode: {self.fpu_mode!r}")
+        if self.search not in ("puct", "gumbel"):
+            raise ValueError(f"unknown search: {self.search!r}")
+        if self.search == "gumbel":
+            if self.reuse_budget > 0:
+                raise ValueError("gumbel search does not support "
+                                 "subtree reuse yet")
+            if self.leaves_per_sim > 1:
+                raise ValueError("gumbel search does not support "
+                                 "leaves_per_sim > 1")
         if self.leaves_per_sim < 1:
             raise ValueError(f"leaves_per_sim={self.leaves_per_sim} < 1")
         if (self.leaves_per_sim > 1
@@ -156,6 +176,10 @@ class Tree(NamedTuple):
     children: jax.Array  # i32 [N, A], -1 = unexpanded
     parent: jax.Array    # i32 [N], -1 at root
     parent_action: jax.Array  # i32 [N]
+    value: jax.Array     # f32 [N] leaf value at expansion (network value,
+                         # or terminal value), side-to-move perspective —
+                         # consumed by the Gumbel completed-Q mixing
+                         # (search/gumbel.py); PUCT ignores it
 
 
 EvalFn = Callable[[Any, jax.Array], Tuple[jax.Array, jax.Array]]
@@ -354,7 +378,12 @@ def _apply_eval_and_backup(env, cfg: MCTSConfig, tree: Tree, leaf, slot,
     ).astype(jnp.float32)
 
     priors = _signed_priors(probs, child_legal.astype(probs.dtype))
-    tree = tree._replace(prior=tree.prior.at[slot].set(priors))
+    tree = tree._replace(
+        prior=tree.prior.at[slot].set(priors),
+        # the slot's own value estimate (junk on orphan slots, which are
+        # unreachable) — the Gumbel completed-Q mix reads it
+        value=tree.value.at[slot].set(leaf_value),
+    )
 
     a_count = tree.prior.shape[-1]
 
@@ -497,6 +526,7 @@ def init_tree(env, cfg: MCTSConfig, root_state) -> Tree:
         children=jnp.full((n, a), -1, jnp.int32),
         parent=jnp.full((n,), -1, jnp.int32),
         parent_action=jnp.full((n,), -1, jnp.int32),
+        value=jnp.zeros((n,), jnp.float32),
     )
     return _write_node(tree, 0, root_state)
 
@@ -544,6 +574,14 @@ def run_mcts_with_q(
     move — the same convention as the self-play outcome ``z``, making it
     usable as a soft value target (``value_target_mix`` in the trainer).
     """
+    if cfg.search == "gumbel":
+        # Gumbel sequential halving (search/gumbel.py): the XLA tree ops
+        # regardless of cfg.backend (the packed kernels hard-code PUCT);
+        # move_numbers is unused (no Dirichlet gate in Gumbel search)
+        from alphazero_gomoku_tpu.search.gumbel import run_gumbel_mcts
+        pi, root_q, _ = run_gumbel_mcts(env, cfg, eval_fn, net_params,
+                                        root_states, rng)
+        return pi, root_q
     # Mosaic requires >=8 sublanes per vector register; the packed-row
     # kernels fail to lower below that, and the two backends are
     # bit-identical (tests/test_tree_pallas.py), so tiny batches
@@ -765,7 +803,8 @@ def _advance_root_single(env, cfg: MCTSConfig, tree: Tree, action) -> Tree:
     # remap already yields -1; make it explicit anyway
     parent_new = parent_new.at[0].set(-1)
     parent_act = parent_act.at[0].set(-1)
-    reused = Tree(states, prior, nw, children, parent_new, parent_act)
+    value = jnp.where(take, tree.value[order], 0.0)
+    reused = Tree(states, prior, nw, children, parent_new, parent_act, value)
 
     fresh = init_tree(env, cfg,
                       env.step(_node_state(tree, jnp.int32(0)), action))

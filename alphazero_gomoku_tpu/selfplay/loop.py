@@ -156,6 +156,9 @@ def train_alphazero(
     mcts_leaves_per_sim: int = 1,      # k leaves per NN call (virtual loss)
     mcts_fpu_mode: str = "zero",       # "zero" (reference) | "parent"
     mcts_reuse_budget: int = 0,        # self-play subtree reuse (pallas)
+    mcts_search: str = "puct",         # "puct" (reference) | "gumbel"
+                                       # (sequential halving, gumbel.py)
+    gumbel_max_considered: int = 16,
     # hold-out anchor arena: every N iterations (0 = off) the candidate
     # also plays a FIXED anchor net — by default a frozen copy of the
     # starting weights, or the checkpoint at anchor_model_path. Unlike
@@ -261,7 +264,8 @@ def train_alphazero(
         mesh = make_mesh() if len(jax.devices()) > 1 else None
     if mesh is not None:
         n_chips = int(mesh.devices.size)
-        if selfplay_mode == "lockstep" and games_per_iteration % n_chips:
+        if games_per_iteration % n_chips:  # both self-play modes shard
+                                           # the game/lane batch
             rounded = -(-games_per_iteration // n_chips) * n_chips
             log(f"[mesh] rounding games_per_iteration "
                 f"{games_per_iteration} -> {rounded} "
@@ -409,6 +413,8 @@ def train_alphazero(
             leaves_per_sim=mcts_leaves_per_sim,
             fpu_mode=mcts_fpu_mode,
             reuse_budget=mcts_reuse_budget,
+            search=mcts_search,
+            gumbel_max_considered=gumbel_max_considered,
         ),
     )
     arena_cfg = MCTSConfig(
@@ -418,6 +424,8 @@ def train_alphazero(
                         if eval_mcts_simulations % mcts_leaves_per_sim == 0
                         else 1),
         fpu_mode=mcts_fpu_mode,
+        search=mcts_search,
+        gumbel_max_considered=gumbel_max_considered,
     )
     arena_half_fn = None
     if selfplay_mode == "continuous":

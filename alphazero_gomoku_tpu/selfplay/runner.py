@@ -167,6 +167,7 @@ def play_games(
     # expansions already in place (tools/tt_rate_probe.py).  Packed
     # backend only — the XLA backend's reuse entry exists but self-play
     # runs pallas in production.
+    gumbel = cfg.mcts.search == "gumbel"
     reuse = cfg.mcts.reuse_budget > 0
     if reuse and (cfg.mcts.backend != "pallas" or batch < 8):
         raise ValueError(
@@ -211,6 +212,12 @@ def play_games(
         move_nums = jnp.full((batch,), t, jnp.int32)
 
         def search(mcfg):
+            if gumbel:
+                from alphazero_gomoku_tpu.search.gumbel import (
+                    run_gumbel_mcts,
+                )
+                return run_gumbel_mcts(env, mcfg, eval_fn, net_params,
+                                       states, k_search)
             if reuse:
                 return run_mcts_packed_with_tree(
                     env, mcfg, eval_fn, net_params, move_nums, k_search,
@@ -229,7 +236,10 @@ def play_games(
         else:
             full_move = jnp.bool_(True)
             out = search(cfg.mcts)
-        if reuse:
+        gumbel_act = None
+        if gumbel:
+            pi, root_q, gumbel_act = out
+        elif reuse:
             pi, root_q, tree = out
         else:
             pi, root_q = out
@@ -237,10 +247,15 @@ def play_games(
             0.0, 1.0 - t.astype(jnp.float32) / cfg.temp_threshold
         )
         legal = jax.vmap(env.legal_mask)(states)
-        # done games have all-zero pi; give them a harmless action 0
-        safe_pi = jnp.where(active[:, None], pi, 1.0)
-        actions = sample_actions(safe_pi, temp, legal | ~active[:, None],
-                                 k_sample)
+        if gumbel:
+            # the sequential-halving winner IS the move (exploration is
+            # the per-move root Gumbel sample; no temperature sampling)
+            actions = jnp.where(active, gumbel_act, 0).astype(jnp.int32)
+        else:
+            # done games have all-zero pi; give them a harmless action 0
+            safe_pi = jnp.where(active[:, None], pi, 1.0)
+            actions = sample_actions(safe_pi, temp,
+                                     legal | ~active[:, None], k_sample)
         is_open = t < cfg.opening_random_moves
         if cfg.opening_random_moves:
             rand_actions = random_center_actions(
@@ -417,29 +432,41 @@ def play_games_continuous(
     pcr = cfg.pcr_cheap_sims > 0
     if pcr:
         cheap_mcts = _pcr_cheap_mcts(cfg)
+    gumbel = cfg.mcts.search == "gumbel"
 
     def one_ply(carry, _):
         states, rng = carry
         rng, k_search, k_sample, k_open, k_pcr = jax.random.split(rng, 5)
 
         def search(mcfg):
-            return run_mcts_with_q(env, mcfg, eval_fn, net_params,
-                                   states, states.move_count, k_search)
+            if gumbel:
+                from alphazero_gomoku_tpu.search.gumbel import (
+                    run_gumbel_mcts,
+                )
+                return run_gumbel_mcts(env, mcfg, eval_fn, net_params,
+                                       states, k_search)
+            pi, root_q = run_mcts_with_q(env, mcfg, eval_fn, net_params,
+                                         states, states.move_count,
+                                         k_search)
+            return pi, root_q, jnp.zeros((batch,), jnp.int32)
 
         if pcr:
             full_move = jax.random.bernoulli(k_pcr, cfg.pcr_full_prob)
-            pi, root_q = jax.lax.cond(full_move,
-                                      lambda: search(cfg.mcts),
-                                      lambda: search(cheap_mcts))
+            pi, root_q, g_act = jax.lax.cond(full_move,
+                                             lambda: search(cfg.mcts),
+                                             lambda: search(cheap_mcts))
         else:
             full_move = jnp.bool_(True)
-            pi, root_q = search(cfg.mcts)
+            pi, root_q, g_act = search(cfg.mcts)
         temp = jnp.maximum(
             0.0, 1.0 - states.move_count.astype(jnp.float32)
             / cfg.temp_threshold
         )
         legal = jax.vmap(env.legal_mask)(states)
-        actions = sample_actions(pi, temp, legal, k_sample)
+        if gumbel:
+            actions = g_act
+        else:
+            actions = sample_actions(pi, temp, legal, k_sample)
         is_open = states.move_count < cfg.opening_random_moves
         if cfg.opening_random_moves:
             rand_actions = random_center_actions(

@@ -1,0 +1,150 @@
+"""Gumbel sequential-halving search (search/gumbel.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from alphazero_gomoku_tpu.games.gomoku import GomokuEnv
+from alphazero_gomoku_tpu.search import MCTSConfig
+from alphazero_gomoku_tpu.search.gumbel import (
+    halving_schedule,
+    run_gumbel_mcts,
+)
+from alphazero_gomoku_tpu.search.tree import run_mcts_with_q
+
+from test_mcts import fake_eval_jax
+
+SIZE = 7
+A = SIZE * SIZE
+
+
+def gcfg(n_sims, m=8, **kw):
+    return MCTSConfig(n_simulations=n_sims, search="gumbel",
+                      gumbel_max_considered=m, add_noise=False, **kw)
+
+
+def test_halving_schedule_budgets():
+    for n in (2, 3, 8, 16, 50, 200, 400):
+        for m0 in (2, 4, 16, 32):
+            m, phases = halving_schedule(n, m0)
+            total = sum(mk * per for mk, per in phases)
+            assert total <= n, (n, m0, phases)
+            assert phases[0][0] == m
+            # halving: each phase has half the previous actions
+            for (m_a, _), (m_b, _) in zip(phases, phases[1:]):
+                assert m_b == m_a // 2
+            assert phases[-1][0] == 2
+            assert all(per >= 1 for _, per in phases)
+    with pytest.raises(ValueError):
+        halving_schedule(1, 16)
+
+
+def test_gumbel_finds_win_in_one():
+    """P1 has a four with one open end on a nearly-full board (6 legal
+    cells, all inside the consideration set): sequential halving must
+    play the winning extension and the improved policy must peak there,
+    at a small budget.  (On sparse boards with an uninformed prior the
+    win move can legitimately miss the top-m Gumbel cut — considering
+    only m actions is the algorithm, so the test controls legality
+    instead.)"""
+    env = GomokuEnv(SIZE)
+    board = np.zeros((SIZE, SIZE), np.int8)
+    board[3, 1:5] = 1          # four in a row
+    board[3, 0] = 2            # left end blocked
+    empties = {(3, 5), (3, 6), (0, 0), (0, 6), (6, 0), (6, 6)}
+    pat = [1, 2, 2, 1, 2, 1, 1, 2, 1, 2, 2, 1]   # anti-run fill
+    k = 0
+    for r in range(SIZE):
+        for c in range(SIZE):
+            if (r, c) in empties or board[r, c] != 0:
+                continue
+            board[r, c] = pat[k % len(pat)]
+            k += 1
+    state = env.from_board(jnp.asarray(board), 1)
+    assert not bool(state.done)
+    states = jax.tree_util.tree_map(lambda x: x[None], state)
+
+    win_idx = 3 * SIZE + 5
+    for sims in (16, 64):
+        pi, root_q, action = jax.jit(
+            lambda s, k: run_gumbel_mcts(env, gcfg(sims), fake_eval_jax,
+                                         None, s, k),
+            static_argnums=(),
+        )(states, jax.random.PRNGKey(0))
+        assert int(action[0]) == win_idx, sims
+        assert int(np.argmax(np.asarray(pi)[0])) == win_idx
+        # winning edge Q is +1 => root_q positive once it dominates visits
+        assert np.isfinite(float(root_q[0]))
+    # the target is a distribution over legal moves only
+    pi = np.asarray(pi)[0]
+    legal = np.asarray(env.legal_mask(state))
+    assert pi[legal == 0].max() < 1e-6
+    np.testing.assert_allclose(pi.sum(), 1.0, atol=1e-5)
+
+
+def test_gumbel_batch_dispatch_and_legality():
+    """run_mcts_with_q dispatches search='gumbel'; over a batch of random
+    positions the outputs are finite distributions and the halving winner
+    is always legal."""
+    rng = np.random.default_rng(4)
+    env = GomokuEnv(SIZE)
+    boards = np.zeros((4, SIZE, SIZE), np.int8)
+    for b in range(4):
+        cells = rng.choice(A, size=8, replace=False)
+        boards[b].reshape(-1)[cells[:4]] = 1
+        boards[b].reshape(-1)[cells[4:]] = 2
+    states = jax.vmap(lambda bd: env.from_board(bd, 1))(jnp.asarray(boards))
+
+    cfg = gcfg(24, m=4)
+    pi, root_q = jax.jit(
+        lambda s, k: run_mcts_with_q(env, cfg, fake_eval_jax, None, s,
+                                     jnp.zeros((4,), jnp.int32), k)
+    )(states, jax.random.PRNGKey(1))
+    pi = np.asarray(pi)
+    assert np.isfinite(pi).all() and np.isfinite(np.asarray(root_q)).all()
+    np.testing.assert_allclose(pi.sum(axis=-1), 1.0, atol=1e-5)
+    legal = np.asarray(jax.vmap(env.legal_mask)(states))
+    assert (pi[legal == 0] < 1e-6).all()
+
+    _, _, action = jax.jit(
+        lambda s, k: run_gumbel_mcts(env, cfg, fake_eval_jax, None, s, k)
+    )(states, jax.random.PRNGKey(2))
+    picked = np.asarray(action)
+    assert (legal[np.arange(4), picked] > 0).all()
+
+
+def test_gumbel_config_validation():
+    with pytest.raises(ValueError):
+        MCTSConfig(n_simulations=16, search="gumbel", reuse_budget=8)
+    with pytest.raises(ValueError):
+        MCTSConfig(n_simulations=16, search="gumbel", leaves_per_sim=2)
+    with pytest.raises(ValueError):
+        MCTSConfig(n_simulations=16, search="nope")
+
+
+def test_gumbel_selfplay_games_complete():
+    """Lockstep self-play with search='gumbel': games finish, recorded
+    pis are the improved-policy targets (legal-only distributions), and
+    played moves were all legal."""
+    from alphazero_gomoku_tpu.selfplay import SelfPlayConfig, play_games
+    from alphazero_gomoku_tpu.selfplay.runner import collect_examples
+
+    env = GomokuEnv(SIZE)
+    cfg = SelfPlayConfig(
+        batch_games=4, temp_threshold=4,
+        mcts=gcfg(12, m=4),
+    )
+    traj = jax.jit(
+        lambda p, k: play_games(env, cfg, fake_eval_jax, p, k)
+    )(None, jax.random.PRNGKey(7))
+    winners = np.asarray(traj.winners)
+    moves = np.asarray(traj.moves_played)
+    assert (moves > 0).all()
+    pis = np.asarray(traj.pis)
+    active = np.asarray(traj.active)
+    np.testing.assert_allclose(pis[active].sum(axis=-1), 1.0, atol=1e-4)
+    states, pis_c, zs, stats = collect_examples(traj, use_symmetries=False)
+    assert len(states) == int(active.sum())
+    assert sum(stats.values()) == 4 and stats[0] + stats[1] + stats[2] == 4
+    del winners

@@ -173,6 +173,8 @@ def test_train_loop_continuous_mode(tmp_path):
         n_res_blocks=1, channels=8,
         model_dir=str(tmp_path / "m"), seed=1, verbose=False,
         selfplay_mode="continuous", selfplay_steps=30,
+        mesh=None,   # single-device continuous; the sharded variant is
+                     # test_train_loop_continuous_mode_sharded
     )
     assert hist[0]["moves"] == 4 * 30  # every ply is a real move
     assert hist[0]["buffer_size"] > 0
