@@ -100,6 +100,9 @@ class AlphaZeroPlayer:
         channels: int = 64,
         tactical_guard: bool = True,
         tree_reuse: bool = True,
+        search: str = "puct",   # "gumbel": sequential halving
+                                # (search/gumbel.py) — play argmax of the
+                                # improved policy; disables tree reuse
     ):
         self.rules = str(rules).lower()
         self.board_size = board_size
@@ -165,9 +168,13 @@ class AlphaZeroPlayer:
         # state-keyed node carry-over (~45% of expansions recur,
         # tools/tt_rate_probe.py); noise stays off, so reuse only adds
         # information.
+        self.search = str(search)
+        if self.search == "gumbel":
+            tree_reuse = False   # not supported with gumbel yet
         self.tree_reuse = bool(tree_reuse)
         cfg = MCTSConfig(n_simulations=n_simulations, cpuct=c_puct,
                          add_noise=False, fpu_mode="parent",
+                         search=self.search,
                          reuse_budget=n_simulations if tree_reuse else 0)
         eval_fn = make_eval_fn(self.net.cfg)
         env = self.env

@@ -148,3 +148,18 @@ def test_gumbel_selfplay_games_complete():
     assert len(states) == int(active.sum())
     assert sum(stats.values()) == 4 and stats[0] + stats[1] + stats[2] == 4
     del winners
+
+
+def test_alpha_player_gumbel_mode():
+    """AlphaZeroPlayer(search='gumbel') plays legal moves (random weights,
+    tiny board)."""
+    from alphazero_gomoku_tpu.players.alpha_base import AlphaZeroPlayer
+
+    p = AlphaZeroPlayer(rules="gomoku", board_size=SIZE, n_simulations=8,
+                        model_path=None, n_res_blocks=1, channels=8,
+                        search="gumbel")
+    assert p.tree_reuse is False
+    board = np.zeros((SIZE, SIZE), np.int8)
+    board[3, 3] = 1
+    r, c = p.play(board.copy(), 1, (3, 3))
+    assert 0 <= r < SIZE and 0 <= c < SIZE and board[r, c] == 0
