@@ -41,7 +41,7 @@ def run_bench(batch_games: int = 256, n_simulations: int = 400,
               measure_moves: int = 48, seed: int = 0,
               dtype: str = "float32", infer: str = "f32",
               backend: str = "pallas", game: str = "gomoku",
-              leaves_per_sim: int = 1,
+              leaves_per_sim: int = 1, search: str = "puct",
               vs_baseline: float = BASELINE_MOVES_PER_SEC,
               trace_dir: str = None) -> dict:
     """Lockstep self-play throughput (configs #2/#3/#4 shapes).
@@ -77,10 +77,10 @@ def run_bench(batch_games: int = 256, n_simulations: int = 400,
         batch_games=batch_games,
         temp_threshold=10,
         mcts=MCTSConfig(n_simulations=n_simulations, cpuct=1.0,
-                        add_noise=True, dirichlet_alpha=0.05,
+                        add_noise=(search == "puct"), dirichlet_alpha=0.05,
                         dirichlet_epsilon=0.15, dirichlet_moves=10,
                         max_depth=56, backend=backend,
-                        leaves_per_sim=leaves_per_sim),
+                        leaves_per_sim=leaves_per_sim, search=search),
     )
 
     del warmup_moves  # single compiled program; warmup = first invocation
@@ -135,6 +135,7 @@ def run_bench(batch_games: int = 256, n_simulations: int = 400,
             "backend": backend,
             "inference": infer,
             "leaves_per_sim": leaves_per_sim,
+            "search": search,
             "device": str(jax.devices()[0]),
         },
     }
@@ -272,6 +273,10 @@ if __name__ == "__main__":
     ap.add_argument("--moves", type=int, default=48)
     ap.add_argument("--kleaf", type=int, default=1,
                     help="leaves per network call (virtual-loss batching)")
+    ap.add_argument("--search", default="puct", choices=["puct", "gumbel"],
+                    help="root search algorithm (gumbel: sequential "
+                         "halving, noise off; measure with fewer --sims — "
+                         "strength-per-sim A/B in tools/gumbel_ab.py)")
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="capture a jax.profiler device trace of the "
                     "measured run into DIR (view with xprof/tensorboard)")
@@ -283,5 +288,6 @@ if __name__ == "__main__":
             batch_games=a.batch, n_simulations=a.sims, infer=a.infer,
             backend=a.backend, n_res_blocks=a.blocks, channels=a.channels,
             game=a.game, measure_moves=a.moves, leaves_per_sim=a.kleaf,
+            search=a.search,
             trace_dir=a.trace,
         )))
