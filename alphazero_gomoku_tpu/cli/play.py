@@ -67,19 +67,26 @@ def main(argv=None):
     ap.add_argument("--p1-sims", type=int, default=None,
                     help="n_simulations (alpha) / n_playout (mcts) override")
     ap.add_argument("--p2-sims", type=int, default=None)
+    ap.add_argument("--p1-search", default=None, choices=["puct", "gumbel"],
+                    help="search algorithm override (AlphaZero variants)")
+    ap.add_argument("--p2-search", default=None, choices=["puct", "gumbel"])
     args = ap.parse_args(argv)
 
-    def kw(name, model, sims):
+    def kw(name, model, sims, search):
         out = {}
         if model is not None:
             out["model_path"] = model
         if sims is not None:
             out["n_playout" if "mcts" in name else "n_simulations"] = sims
+        if search is not None:
+            out["search"] = search
         return out
 
     run_match(args.player1, args.player2, args.game, args.size,
-              p1_kwargs=kw(args.player1, args.p1_model, args.p1_sims),
-              p2_kwargs=kw(args.player2, args.p2_model, args.p2_sims))
+              p1_kwargs=kw(args.player1, args.p1_model, args.p1_sims,
+                           args.p1_search),
+              p2_kwargs=kw(args.player2, args.p2_model, args.p2_sims,
+                           args.p2_search))
     return 0
 
 
