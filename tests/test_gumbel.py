@@ -163,3 +163,22 @@ def test_alpha_player_gumbel_mode():
     board[3, 3] = 1
     r, c = p.play(board.copy(), 1, (3, 3))
     assert 0 <= r < SIZE and 0 <= c < SIZE and board[r, c] == 0
+
+
+def test_gumbel_pente_smoke():
+    """Gumbel search is env-agnostic: a Pente batch produces legal
+    distributions (captures/terminal handling via the shared expand
+    path)."""
+    from alphazero_gomoku_tpu.games import make_env
+
+    env = make_env("pente", SIZE)
+    states = env.init_batch(2)
+    states = jax.vmap(env.step)(states, jnp.asarray([24, 25]))
+    pi, root_q = jax.jit(
+        lambda s, k: run_mcts_with_q(env, gcfg(12, m=4), fake_eval_jax, None,
+                                     s, jnp.ones((2,), jnp.int32), k)
+    )(states, jax.random.PRNGKey(3))
+    pi = np.asarray(pi)
+    np.testing.assert_allclose(pi.sum(axis=-1), 1.0, atol=1e-5)
+    legal = np.asarray(jax.vmap(env.legal_mask)(states))
+    assert (pi[legal == 0] < 1e-6).all()
