@@ -282,6 +282,194 @@ def select_walk(packed: jax.Array, layout: PackedLayout, cpuct: float,
 
 
 # ----------------------------------------------------------------------
+# gumbel select kernel (search/gumbel.py's walk on the packed layout)
+# ----------------------------------------------------------------------
+def _gumbel_select_kernel(layout: PackedLayout, depth_limit: int,
+                          c_visit: float, c_scale: float,
+                          packed_hbm, rootact_in,
+                          leaf_ref, act_ref, pnodes_ref, pacts_ref, plen_ref,
+                          rows_vmem, nodes_vmem, stopped_vmem, sems):
+    """Forced root hop + the deterministic Gumbel non-root rule.
+
+    Per hop (all VPU over the [B, row] tile): completed-Q per action
+    (visited => W/N, else the node's mixed value from the value column at
+    ``4*seg + 1``), pi' = softmax(log prior + (c_visit + max N) * c_scale
+    * completedQ), action = argmax(pi' - N/(1+sum N)); the hop at depth 0
+    takes the lane's forced ``root_action`` instead.  Stop/record/path
+    semantics identical to :func:`_select_kernel`.
+    """
+    a = layout.num_actions
+    s = layout.seg
+    b = rows_vmem.shape[0]
+    iota_a = jax.lax.broadcasted_iota(jnp.int32, (b, a), 1)
+
+    nodes_vmem[:] = jnp.zeros((b, 1), jnp.int32)
+    stopped_vmem[:] = jnp.zeros((b, 1), jnp.int32)
+    plen_ref[:] = jnp.zeros((b, 1), jnp.int32)
+    leaf_ref[:] = jnp.zeros((b, 1), jnp.int32)
+    act_ref[:] = jnp.full((b, 1), -1, jnp.int32)
+    pnodes_ref[:] = jnp.zeros_like(pnodes_ref)
+    pacts_ref[:] = jnp.zeros_like(pacts_ref)
+
+    lane0 = pl.program_id(0) * b
+
+    def fetch_groups():
+        def start(i, _):
+            g = (nodes_vmem[i, 0] // GROUP) * GROUP
+            pltpu.make_async_copy(
+                packed_hbm.at[lane0 + i, pl.ds(g, GROUP), :],
+                rows_vmem.at[i], sems.at[i],
+            ).start()
+            return 0
+        jax.lax.fori_loop(0, b, start, 0)
+
+        def wait(i, _):
+            g = (nodes_vmem[i, 0] // GROUP) * GROUP
+            pltpu.make_async_copy(
+                packed_hbm.at[lane0 + i, pl.ds(g, GROUP), :],
+                rows_vmem.at[i], sems.at[i],
+            ).wait()
+            return 0
+        jax.lax.fori_loop(0, b, wait, 0)
+
+    def cond(carry):
+        h, all_stopped = carry
+        return jnp.logical_and(h < depth_limit, jnp.logical_not(all_stopped))
+
+    def body(carry):
+        h, _ = carry
+        fetch_groups()
+        nodes = nodes_vmem[:]
+        rows = _select_group_row(rows_vmem[:], nodes % GROUP, b)
+        active = stopped_vmem[:] == 0
+
+        n = rows[:, 0:a]
+        w = rows[:, s:s + a]
+        p_signed = rows[:, 2 * s:2 * s + a]
+        done = rows[:, 4 * s:4 * s + 1] > 0.5
+        v_node = rows[:, 4 * s + 1:4 * s + 2]          # [B, 1]
+
+        legal = p_signed >= 0.0
+        p = jnp.maximum(p_signed, 0.0)
+        sum_n = jnp.sum(n, axis=1, keepdims=True)
+        q = w / jnp.maximum(n, 1.0)
+        visited = n > 0.0
+        p_vis = jnp.sum(jnp.where(visited, p, 0.0), axis=1, keepdims=True)
+        w_q = jnp.sum(jnp.where(visited, p * q, 0.0), axis=1,
+                      keepdims=True) / jnp.maximum(p_vis, 1e-8)
+        v_mix = (v_node + sum_n * w_q) / (1.0 + sum_n)
+        v_mix = jnp.where(p_vis > 1e-8, v_mix, v_node)
+        comp_q = jnp.where(visited, q, v_mix)
+
+        logits = jnp.log(jnp.maximum(p, 1e-30))
+        max_n = jnp.max(n, axis=1, keepdims=True)
+        sm_in = jnp.where(
+            legal, logits + (c_visit + max_n) * c_scale * comp_q, NEG_INF)
+        sm_max = jnp.max(sm_in, axis=1, keepdims=True)
+        e = jnp.where(legal, jnp.exp(sm_in - sm_max), 0.0)
+        pi_prime = e / jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-30)
+
+        scores = jnp.where(legal, pi_prime - n / (1.0 + sum_n), NEG_INF)
+        mx = jnp.max(scores, axis=1, keepdims=True)
+        walk_action = jnp.min(
+            jnp.where(scores == mx, iota_a, jnp.int32(2 ** 30)),
+            axis=1, keepdims=True,
+        ).astype(jnp.int32)
+        action = jnp.where(h == 0, rootact_in[:], walk_action)
+
+        onehot = iota_a == action
+        child = jnp.sum(
+            jnp.where(onehot, rows[:, 3 * s:3 * s + a], 0.0),
+            axis=1, keepdims=True,
+        ).astype(jnp.int32)
+
+        walking = jnp.logical_and(active, jnp.logical_not(done))
+        expandable = child < 0
+        rec = walking
+        rec_row = jnp.reshape(jnp.where(rec, nodes, -1), (1, b))
+        act_row = jnp.reshape(jnp.where(rec, action, -1), (1, b))
+        pnodes_ref[pl.ds(h, 1), :] = rec_row
+        pacts_ref[pl.ds(h, 1), :] = act_row
+        plen_ref[:] = plen_ref[:] + rec.astype(jnp.int32)
+
+        stop_done = jnp.logical_and(active, done)
+        stop_expand = jnp.logical_and(walking, expandable)
+        stop_now = jnp.logical_or(stop_done, stop_expand)
+
+        act_ref[:] = jnp.where(stop_expand, action, act_ref[:])
+        leaf_ref[:] = jnp.where(stop_now, nodes, leaf_ref[:])
+        nodes_vmem[:] = jnp.where(
+            jnp.logical_and(walking, jnp.logical_not(expandable)),
+            child, nodes,
+        )
+        stopped_vmem[:] = jnp.maximum(
+            stopped_vmem[:], stop_now.astype(jnp.int32)
+        )
+        all_stopped = jnp.all(stopped_vmem[:] == 1)
+        return h + 1, all_stopped
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(False)))
+
+    still = stopped_vmem[:] == 0
+    leaf_ref[:] = jnp.where(still, nodes_vmem[:], leaf_ref[:])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("layout", "depth_limit", "c_visit",
+                                    "c_scale", "interpret"))
+def gumbel_select_walk(packed: jax.Array, root_actions: jax.Array,
+                       layout: PackedLayout, depth_limit: int,
+                       c_visit: float, c_scale: float,
+                       interpret: bool = False):
+    """Gumbel walk over B packed trees with per-lane forced root actions.
+
+    Same outputs as :func:`select_walk`.  ``root_actions`` i32 [B].
+    """
+    b = packed.shape[0]
+    d = depth_limit
+    tile, n_tiles = _lane_tiling(b)
+    kernel = functools.partial(_gumbel_select_kernel, layout, depth_limit,
+                               c_visit, c_scale)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((tile, 1), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),   # root actions
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, 1), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, tile), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, tile), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, 1), jnp.int32),   # leaf
+            jax.ShapeDtypeStruct((b, 1), jnp.int32),   # action
+            jax.ShapeDtypeStruct((d, b), jnp.int32),   # path nodes
+            jax.ShapeDtypeStruct((d, b), jnp.int32),   # path actions
+            jax.ShapeDtypeStruct((b, 1), jnp.int32),   # path len
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile, GROUP, layout.row), jnp.float32),
+            pltpu.VMEM((tile, 1), jnp.int32),
+            pltpu.VMEM((tile, 1), jnp.int32),
+            pltpu.SemaphoreType.DMA((tile,)),
+        ],
+        interpret=interpret,
+    )(packed, root_actions.reshape(b, 1).astype(jnp.int32))
+    leaf, action, pnodes, pacts, plen = out
+    return leaf[:, 0], action[:, 0], pnodes, pacts, plen[:, 0]
+
+
+# ----------------------------------------------------------------------
 # backup kernel
 # ----------------------------------------------------------------------
 def _backup_kernel(layout: PackedLayout, mode: str,
@@ -339,12 +527,20 @@ def _backup_kernel(layout: PackedLayout, mode: str,
         groups0[:, :, 2 * s:2 * s + a] * (1.0 - upd0)
         + upd0 * pri[:, None, :]
     )
-    # the done flag lives at column 4*s; write its full 128-lane segment
-    # (broadcast) — width-1 minor-dim slices of a 3-D VMEM ref are a
-    # Mosaic trouble class (cf. the round-2 sublane notes)
+    # the done flag lives at column 4*s and the node's own value estimate
+    # (for the Gumbel completed-Q mix) at 4*s + 1; the write covers the
+    # full 128-lane segment — width-1 minor-dim slices of a 3-D VMEM ref
+    # are a Mosaic trouble class (cf. the round-2 sublane notes).  In
+    # "vl" mode ``values`` is the zero placeholder and "finalize"
+    # re-writes the column with the real value.
+    seg_w = layout.row - 4 * s
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, 1, seg_w), 2)
+    col0 = (iota_w == 0).astype(jnp.float32)
+    col1 = (iota_w == 1).astype(jnp.float32)
+    newseg = dn[:, None, :] * col0 + values[:, None, :] * col1
     rows_vmem[:, :, 4 * s:] = (
         groups0[:, :, 4 * s:] * (1.0 - upd0)
-        + upd0 * dn[:, None, :]
+        + upd0 * newseg
     )
 
     def cwb_start(k, _):

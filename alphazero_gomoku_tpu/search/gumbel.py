@@ -217,6 +217,14 @@ def run_gumbel_mcts(
     backed-up root value, as :func:`tree.run_mcts_with_q`.
     """
     batch = root_states.done.shape[0]
+    if cfg.backend == "pallas" and batch >= 8:
+        # packed-kernel walk (ops/tree_kernels.gumbel_select_walk);
+        # differential-tested against the XLA implementation below
+        from alphazero_gomoku_tpu.search.tree_pallas import (
+            run_gumbel_packed,
+        )
+        return run_gumbel_packed(env, cfg, eval_fn, net_params,
+                                 root_states, rng)
     a = env.num_actions
     m, phases = halving_schedule(cfg.n_simulations, cfg.gumbel_max_considered)
 

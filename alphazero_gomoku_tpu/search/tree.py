@@ -575,8 +575,8 @@ def run_mcts_with_q(
     usable as a soft value target (``value_target_mix`` in the trainer).
     """
     if cfg.search == "gumbel":
-        # Gumbel sequential halving (search/gumbel.py): the XLA tree ops
-        # regardless of cfg.backend (the packed kernels hard-code PUCT);
+        # Gumbel sequential halving (search/gumbel.py; packed-kernel walk
+        # when backend == "pallas" and the batch clears the lane floor);
         # move_numbers is unused (no Dirichlet gate in Gumbel search)
         from alphazero_gomoku_tpu.search.gumbel import run_gumbel_mcts
         pi, root_q, _ = run_gumbel_mcts(env, cfg, eval_fn, net_params,

@@ -39,6 +39,7 @@ import jax.numpy as jnp
 
 from alphazero_gomoku_tpu.ops.tree_kernels import (
     backup_paths,
+    gumbel_select_walk,
     packed_layout,
     select_walk,
 )
@@ -375,6 +376,178 @@ def run_mcts_packed_with_tree(
     root_w = jnp.sum(packed[:, 0, s:s + a], axis=-1)
     root_q = root_w / jnp.maximum(totals[:, 0], 1.0)
     return pi, root_q, PackedCarry(packed, states, parent, pact_arr)
+
+
+# ----------------------------------------------------------------------
+# Gumbel sequential halving on the packed layout
+# ----------------------------------------------------------------------
+def run_gumbel_packed(
+    env,
+    cfg: MCTSConfig,
+    eval_fn: EvalFn,
+    net_params,
+    root_states,
+    rng: jax.Array,
+    interpret: bool = None,
+):
+    """Packed-kernel mirror of :func:`search.gumbel.run_gumbel_mcts`.
+
+    Same algorithm (static halving schedule, forced root actions, the
+    deterministic non-root rule, completed-Q targets) with the per-hop
+    tree walk in :func:`ops.tree_kernels.gumbel_select_walk` and the
+    shared backup kernel; the node value for the completed-Q mix rides
+    the packed row's done segment (column ``4*seg + 1``).  Differential-
+    tested against the XLA implementation (tests/test_gumbel.py).
+    Returns ``(pi_target [B, A], root_q [B], action [B])``.
+    """
+    from alphazero_gomoku_tpu.search.gumbel import halving_schedule
+    from alphazero_gomoku_tpu.search.tree import (NEG_INF, _masked_priors,
+                                                  terminal_leaf_value)
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    a = env.num_actions
+    n = cfg.node_capacity
+    layout = packed_layout(a, n)
+    s = layout.seg
+    size = env.size
+    batch = root_states.done.shape[0]
+    m, phases = halving_schedule(cfg.n_simulations, cfg.gumbel_max_considered)
+
+    # --- root evaluation + packed init ---------------------------------
+    obs = jax.vmap(env.encode)(root_states)
+    probs, v0 = eval_fn(net_params, obs)
+    probs = probs.reshape(batch, a)
+    v0 = v0.reshape(batch).astype(jnp.float32)
+    legal = jax.vmap(env.legal_mask)(root_states).astype(probs.dtype)
+    priors = jax.vmap(_masked_priors)(probs, legal)
+    signed = jnp.where(legal > 0, priors, -1.0)
+
+    def stack_field(x):
+        z = jnp.zeros((batch, n) + x.shape[1:], x.dtype)
+        return z.at[:, 0].set(x)
+
+    states = jax.tree_util.tree_map(stack_field, _flat_board(root_states))
+    packed = jnp.zeros((batch, layout.n_nodes, layout.row), jnp.float32)
+    packed = packed.at[:, :, 3 * s:3 * s + a].set(-1.0)
+    packed = packed.at[:, 0, 2 * s:2 * s + a].set(signed)
+    packed = packed.at[:, 0, 4 * s].set(
+        root_states.done.astype(jnp.float32))
+    packed = packed.at[:, 0, 4 * s + 1].set(v0)
+
+    logits = jnp.where(legal > 0, jnp.log(jnp.maximum(priors, 1e-30)),
+                       NEG_INF)
+    u = jax.random.uniform(rng, (batch, a), jnp.float32,
+                           minval=1e-12, maxval=1.0)
+    g = -jnp.log(-jnp.log(u))
+    g = jnp.where(legal > 0, g, NEG_INF)
+    _, ranked = jax.lax.top_k(g + logits, m)
+
+    def root_score(packed):
+        n_root = packed[:, 0, 0:a]
+        w_root = packed[:, 0, s:s + a]
+        q_hat = w_root / jnp.maximum(n_root, 1.0)
+        maxvisit = jnp.max(n_root, axis=-1, keepdims=True)
+        sig = (cfg.gumbel_c_visit + maxvisit) * cfg.gumbel_c_scale * q_hat
+        return jnp.where(n_root > 0, g + logits + sig, NEG_INF)
+
+    sims_done = 0
+    for m_k, visits in phases:
+        n_phase = m_k * visits
+
+        def one_sim(carry, j):
+            packed, states = carry
+            slot = sims_done + j + 1
+            col = j % m_k
+            cand = ranked[:, col]
+            cand_ok = jnp.take_along_axis(
+                legal, cand[:, None], axis=1)[:, 0] > 0
+            root_act = jnp.where(cand_ok, cand, ranked[:, 0]).astype(
+                jnp.int32)
+
+            leaf, action, pnodes, pacts, plen = gumbel_select_walk(
+                packed, root_act, layout, cfg.depth_limit,
+                cfg.gumbel_c_visit, cfg.gumbel_c_scale,
+                interpret=interpret)
+            expanding = action >= 0
+            safe_action = jnp.maximum(action, 0)
+
+            parent_state = _unflat_board(jax.tree_util.tree_map(
+                lambda x: jax.vmap(lambda xb, i: xb[i])(x, leaf), states
+            ), size, size)
+            child_state = jax.vmap(env.step)(parent_state, safe_action)
+            write_state = jax.tree_util.tree_map(
+                lambda c, p: jnp.where(
+                    expanding.reshape((-1,) + (1,) * (c.ndim - 1)), c, p
+                ),
+                child_state, parent_state,
+            )
+            states = jax.tree_util.tree_map(
+                lambda st, ws: jax.vmap(
+                    lambda stb, wsb: jax.lax.dynamic_update_index_in_dim(
+                        stb, wsb, slot, 0)
+                )(st, ws),
+                states, _flat_board(write_state),
+            )
+
+            obs = jax.vmap(env.encode)(write_state)
+            probs, values = eval_fn(net_params, obs)
+            probs = probs.reshape(batch, a)
+            values = values.reshape(batch)
+
+            terminal = write_state.done
+            leaf_value = jnp.where(
+                terminal,
+                jax.vmap(lambda st: terminal_leaf_value(env, cfg, st))(
+                    write_state),
+                values,
+            ).astype(jnp.float32)
+
+            child_legal = jax.vmap(env.legal_mask)(write_state).astype(
+                probs.dtype)
+            packed = backup_paths(
+                packed, pnodes, pacts, plen, leaf_value,
+                expanding.astype(jnp.int32), slot, layout,
+                signed_priors=jax.vmap(_signed_priors)(probs, child_legal),
+                done=write_state.done, interpret=interpret,
+            )
+            return (packed, states), None
+
+        (packed, states), _ = jax.lax.scan(
+            one_sim, (packed, states),
+            jnp.arange(n_phase, dtype=jnp.int32))
+        sims_done += n_phase
+
+        keep = max(1, m_k // 2)
+        in_set = jnp.zeros((batch, a), jnp.bool_)
+        in_set = in_set.at[
+            jnp.arange(batch)[:, None], ranked[:, :m_k]].set(True)
+        scores = jnp.where(in_set, root_score(packed), NEG_INF)
+        _, ranked = jax.lax.top_k(scores, m)
+        del in_set, scores, keep
+
+    action = ranked[:, 0].astype(jnp.int32)
+
+    # --- outputs (completed-Q target, as the XLA implementation) --------
+    n_root = packed[:, 0, 0:a]
+    w_root = packed[:, 0, s:s + a]
+    q = w_root / jnp.maximum(n_root, 1.0)
+    p = jnp.maximum(packed[:, 0, 2 * s:2 * s + a], 0.0)
+    visited = n_root > 0.0
+    p_vis = jnp.sum(jnp.where(visited, p, 0.0), axis=-1, keepdims=True)
+    w_q = jnp.sum(jnp.where(visited, p * q, 0.0), axis=-1,
+                  keepdims=True) / jnp.maximum(p_vis, 1e-8)
+    sum_n = jnp.sum(n_root, axis=-1, keepdims=True)
+    v_mix = (v0[:, None] + sum_n * w_q) / (1.0 + sum_n)
+    v_mix = jnp.where(p_vis > 1e-8, v_mix, v0[:, None])
+    comp_q = jnp.where(visited, q, v_mix)
+    maxvisit = jnp.max(n_root, axis=-1, keepdims=True)
+    sig = (cfg.gumbel_c_visit + maxvisit) * cfg.gumbel_c_scale * comp_q
+    target_scores = jnp.where(legal > 0, logits + sig, NEG_INF)
+    pi_target = jax.nn.softmax(target_scores, axis=-1)
+
+    root_q = jnp.sum(w_root, axis=-1) / jnp.maximum(sum_n[:, 0], 1.0)
+    return pi_target, root_q, action
 
 
 # ----------------------------------------------------------------------

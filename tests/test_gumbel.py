@@ -182,3 +182,52 @@ def test_gumbel_pente_smoke():
     np.testing.assert_allclose(pi.sum(axis=-1), 1.0, atol=1e-5)
     legal = np.asarray(jax.vmap(env.legal_mask)(states))
     assert (pi[legal == 0] < 1e-6).all()
+
+
+def test_gumbel_packed_matches_xla():
+    """Packed-kernel gumbel (tree_pallas.run_gumbel_packed) vs the XLA
+    implementation: same PRNG, same schedule — the halving winners must
+    agree exactly and the completed-Q targets to float tolerance."""
+    from alphazero_gomoku_tpu.search.tree_pallas import run_gumbel_packed
+
+    rng = np.random.default_rng(9)
+    env = GomokuEnv(SIZE)
+    boards = np.zeros((8, SIZE, SIZE), np.int8)
+    for b in range(8):
+        cells = rng.choice(A, size=10, replace=False)
+        boards[b].reshape(-1)[cells[:5]] = 1
+        boards[b].reshape(-1)[cells[5:]] = 2
+    states = jax.vmap(lambda bd: env.from_board(bd, 1))(jnp.asarray(boards))
+    cfg = gcfg(24, m=8)
+
+    key = jax.random.PRNGKey(13)
+    pi_x, q_x, act_x = jax.jit(
+        lambda s, k: run_gumbel_mcts(env, cfg, fake_eval_jax, None, s, k)
+    )(states, key)
+    pi_p, q_p, act_p = jax.jit(
+        lambda s, k: run_gumbel_packed(env, cfg, fake_eval_jax, None, s, k)
+    )(states, key)
+
+    np.testing.assert_array_equal(np.asarray(act_x), np.asarray(act_p))
+    np.testing.assert_allclose(np.asarray(pi_x), np.asarray(pi_p),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(q_x), np.asarray(q_p), atol=1e-5)
+
+
+def test_gumbel_packed_dispatch_via_backend():
+    """MCTSConfig(search='gumbel', backend='pallas') routes batches >= 8
+    through the packed walk (and still returns valid distributions)."""
+    env = GomokuEnv(SIZE)
+    states = env.init_batch(8)
+    states = jax.vmap(env.step)(states, jnp.arange(8, dtype=jnp.int32) + 20)
+    cfg = MCTSConfig(n_simulations=16, search="gumbel",
+                     gumbel_max_considered=8, add_noise=False,
+                     backend="pallas")
+    pi, root_q = jax.jit(
+        lambda s, k: run_mcts_with_q(env, cfg, fake_eval_jax, None, s,
+                                     jnp.ones((8,), jnp.int32), k)
+    )(states, jax.random.PRNGKey(21))
+    pi = np.asarray(pi)
+    np.testing.assert_allclose(pi.sum(axis=-1), 1.0, atol=1e-5)
+    legal = np.asarray(jax.vmap(env.legal_mask)(states))
+    assert (pi[legal == 0] < 1e-6).all()
