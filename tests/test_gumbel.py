@@ -231,3 +231,25 @@ def test_gumbel_packed_dispatch_via_backend():
     np.testing.assert_allclose(pi.sum(axis=-1), 1.0, atol=1e-5)
     legal = np.asarray(jax.vmap(env.legal_mask)(states))
     assert (pi[legal == 0] < 1e-6).all()
+
+
+def test_gumbel_pcr_composition_packed():
+    """PCR's cheap/full cond + the packed gumbel walk in lockstep
+    self-play: both branches share node capacity; games complete."""
+    from alphazero_gomoku_tpu.selfplay import SelfPlayConfig, play_games
+
+    env = GomokuEnv(SIZE)
+    cfg = SelfPlayConfig(
+        batch_games=8, temp_threshold=4, max_moves=10,
+        pcr_cheap_sims=4, pcr_full_prob=0.5,
+        mcts=MCTSConfig(n_simulations=12, search="gumbel",
+                        gumbel_max_considered=4, add_noise=False,
+                        backend="pallas"),
+    )
+    traj = jax.jit(
+        lambda p, k: play_games(env, cfg, fake_eval_jax, p, k)
+    )(None, jax.random.PRNGKey(17))
+    assert int(np.asarray(traj.moves_played).max()) > 0
+    sums = np.asarray(traj.pis).sum(axis=-1)
+    active = np.asarray(traj.active)
+    assert ((sums[active] > 0.5) | (sums[active] < 1e-6)).all()
