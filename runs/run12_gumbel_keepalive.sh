@@ -21,7 +21,7 @@ while true; do
     --board-size 15 --game gomoku \
     --num-iterations 200 --games-per-iteration 128 --n-simulations 64 \
     --mcts-search gumbel --gumbel-max-considered 16 \
-    --n-res-blocks 6 --channels 128 --mcts-backend xla --mcts-max-depth 56 \
+    --n-res-blocks 6 --channels 128 --mcts-backend pallas --mcts-max-depth 56 \
     --inference int8 \
     --buffer-size 160000 --batch-size 128 --epochs-per-iter 1 \
     --eval-games 64 --eval-mcts-simulations 384 \
