@@ -297,3 +297,22 @@ def test_train_loop_selfplay_move_cap(tmp_path):
     )
     assert hist[0]["moves"] <= 4 * 6
     assert hist[0]["winners"][0] == 4  # 6-ply 7x7 games can't be decided
+
+
+@pytest.mark.slow
+def test_train_loop_gumbel_search(tmp_path):
+    """Full iteration with --mcts-search gumbel: gumbel self-play
+    (completed-Q targets), training, and a gumbel eval arena."""
+    hist = train_alphazero(
+        game_name="gomoku", board_size=SIZE,
+        num_iterations=1, games_per_iteration=4,
+        n_simulations=16, buffer_size=2000, batch_size=32,
+        epochs_per_iter=1, temp_threshold=4,
+        eval_games=2, eval_mcts_simulations=16,
+        n_res_blocks=1, channels=8,
+        model_dir=str(tmp_path / "m"), seed=5, verbose=False,
+        mcts_search="gumbel", gumbel_max_considered=8, mesh=None,
+    )
+    assert hist[0]["moves"] > 0
+    assert hist[0]["buffer_size"] > 0
+    assert np.isfinite(hist[0]["loss"]["total_loss"])
