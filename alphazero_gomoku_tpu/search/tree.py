@@ -127,9 +127,10 @@ class MCTSConfig:
         if self.search not in ("puct", "gumbel"):
             raise ValueError(f"unknown search: {self.search!r}")
         if self.search == "gumbel":
-            if self.reuse_budget > 0:
-                raise ValueError("gumbel search does not support "
-                                 "subtree reuse yet")
+            if self.reuse_budget > 0 and self.backend != "pallas":
+                raise ValueError(
+                    "gumbel + subtree reuse runs on the packed backend "
+                    "only (tree_pallas.run_gumbel_packed_with_tree)")
             if self.leaves_per_sim > 1:
                 raise ValueError("gumbel search does not support "
                                  "leaves_per_sim > 1")

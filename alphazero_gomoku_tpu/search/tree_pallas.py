@@ -392,13 +392,43 @@ def run_gumbel_packed(
 ):
     """Packed-kernel mirror of :func:`search.gumbel.run_gumbel_mcts`.
 
-    Same algorithm (static halving schedule, forced root actions, the
-    deterministic non-root rule, completed-Q targets) with the per-hop
-    tree walk in :func:`ops.tree_kernels.gumbel_select_walk` and the
-    shared backup kernel; the node value for the completed-Q mix rides
-    the packed row's done segment (column ``4*seg + 1``).  Differential-
-    tested against the XLA implementation (tests/test_gumbel.py).
-    Returns ``(pi_target [B, A], root_q [B], action [B])``.
+    Returns ``(pi_target [B, A], root_q [B], action [B])``.  Stateless:
+    fresh tree per call even under a reuse config (mirroring
+    ``run_mcts_packed``); the reuse-aware entry is
+    :func:`run_gumbel_packed_with_tree`.
+    """
+    pi, root_q, action, _ = run_gumbel_packed_with_tree(
+        env, cfg, eval_fn, net_params, rng, root_states=root_states,
+        interpret=interpret)
+    return pi, root_q, action
+
+
+def run_gumbel_packed_with_tree(
+    env,
+    cfg: MCTSConfig,
+    eval_fn: EvalFn,
+    net_params,
+    rng: jax.Array,
+    carry: Optional[PackedCarry] = None,
+    root_states=None,
+    interpret: bool = None,
+):
+    """Gumbel sequential halving on the packed layout, reuse-aware.
+
+    Same algorithm as :func:`search.gumbel.run_gumbel_mcts` (static
+    halving schedule, forced root actions, the deterministic non-root
+    rule, completed-Q targets) with the per-hop tree walk in
+    :func:`ops.tree_kernels.gumbel_select_walk` and the shared backup
+    kernel; the node value for the completed-Q mix rides the packed
+    row's done segment (column ``4*seg + 1``).  Differential-tested
+    against the XLA implementation (tests/test_gumbel.py).
+
+    With ``cfg.reuse_budget > 0`` thread the returned carry through
+    :func:`packed_advance_root` between moves exactly as the PUCT
+    search does (same compaction; the value column rides the rows).
+    Root priors AND the root value estimate are re-evaluated every
+    move; carried N/W/children sharpen the halving's q_hat from the
+    first simulation.  Returns ``(pi_target, root_q, action, carry)``.
     """
     from alphazero_gomoku_tpu.search.gumbel import halving_schedule
     from alphazero_gomoku_tpu.search.tree import (NEG_INF, _masked_priors,
@@ -406,15 +436,31 @@ def run_gumbel_packed(
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    reuse = cfg.reuse_budget > 0
+    if carry is not None and not reuse:
+        raise ValueError("carry= requires cfg.reuse_budget > 0")
     a = env.num_actions
     n = cfg.node_capacity
     layout = packed_layout(a, n)
     s = layout.seg
     size = env.size
-    batch = root_states.done.shape[0]
     m, phases = halving_schedule(cfg.n_simulations, cfg.gumbel_max_considered)
 
-    # --- root evaluation + packed init ---------------------------------
+    if carry is not None:
+        packed, states, parent, pact_arr = carry
+        if root_states is None:
+            root_states = _unflat_board(
+                jax.tree_util.tree_map(lambda x: x[:, 0], states),
+                size, size)
+        batch = root_states.done.shape[0]
+        slot_base = cfg.reuse_budget
+    else:
+        if root_states is None:
+            raise ValueError("need root_states for the first move")
+        batch = root_states.done.shape[0]
+        slot_base = 1
+
+    # --- root evaluation ------------------------------------------------
     obs = jax.vmap(env.encode)(root_states)
     probs, v0 = eval_fn(net_params, obs)
     probs = probs.reshape(batch, a)
@@ -423,13 +469,19 @@ def run_gumbel_packed(
     priors = jax.vmap(_masked_priors)(probs, legal)
     signed = jnp.where(legal > 0, priors, -1.0)
 
-    def stack_field(x):
-        z = jnp.zeros((batch, n) + x.shape[1:], x.dtype)
-        return z.at[:, 0].set(x)
+    if carry is None:
+        def stack_field(x):
+            z = jnp.zeros((batch, n) + x.shape[1:], x.dtype)
+            return z.at[:, 0].set(x)
 
-    states = jax.tree_util.tree_map(stack_field, _flat_board(root_states))
-    packed = jnp.zeros((batch, layout.n_nodes, layout.row), jnp.float32)
-    packed = packed.at[:, :, 3 * s:3 * s + a].set(-1.0)
+        states = jax.tree_util.tree_map(stack_field,
+                                        _flat_board(root_states))
+        packed = jnp.zeros((batch, layout.n_nodes, layout.row), jnp.float32)
+        packed = packed.at[:, :, 3 * s:3 * s + a].set(-1.0)
+        parent = jnp.full((batch, layout.n_nodes), -1, jnp.int32)
+        pact_arr = jnp.full((batch, layout.n_nodes), -1, jnp.int32)
+    # refresh the root prior segment, done flag, and value estimate;
+    # N/W/children carry over (zeros on a fresh tree)
     packed = packed.at[:, 0, 2 * s:2 * s + a].set(signed)
     packed = packed.at[:, 0, 4 * s].set(
         root_states.done.astype(jnp.float32))
@@ -455,9 +507,9 @@ def run_gumbel_packed(
     for m_k, visits in phases:
         n_phase = m_k * visits
 
-        def one_sim(carry, j):
-            packed, states = carry
-            slot = sims_done + j + 1
+        def one_sim(sim_carry, j):
+            packed, states, parent, pact_arr = sim_carry
+            slot = sims_done + j + slot_base
             col = j % m_k
             cand = ranked[:, col]
             cand_ok = jnp.take_along_axis(
@@ -511,20 +563,26 @@ def run_gumbel_packed(
                 signed_priors=jax.vmap(_signed_priors)(probs, child_legal),
                 done=write_state.done, interpret=interpret,
             )
-            return (packed, states), None
+            # sidecar parent pointers for packed_advance_root (inert on
+            # stateless searches; tiny next to the tree itself)
+            parent = parent.at[:, slot].set(jnp.where(expanding, leaf, -1))
+            pact_arr = pact_arr.at[:, slot].set(action)
+            return (packed, states, parent, pact_arr), None
 
-        (packed, states), _ = jax.lax.scan(
-            one_sim, (packed, states),
+        (packed, states, parent, pact_arr), _ = jax.lax.scan(
+            one_sim, (packed, states, parent, pact_arr),
             jnp.arange(n_phase, dtype=jnp.int32))
         sims_done += n_phase
 
-        keep = max(1, m_k // 2)
+        # halve: keep the top half of the considered set by
+        # g + logits + sigma(q_hat); scoring over the full action space
+        # with -inf outside the set keeps this a plain top_k
         in_set = jnp.zeros((batch, a), jnp.bool_)
         in_set = in_set.at[
             jnp.arange(batch)[:, None], ranked[:, :m_k]].set(True)
         scores = jnp.where(in_set, root_score(packed), NEG_INF)
         _, ranked = jax.lax.top_k(scores, m)
-        del in_set, scores, keep
+        del in_set, scores
 
     action = ranked[:, 0].astype(jnp.int32)
 
@@ -547,7 +605,8 @@ def run_gumbel_packed(
     pi_target = jax.nn.softmax(target_scores, axis=-1)
 
     root_q = jnp.sum(w_root, axis=-1) / jnp.maximum(sum_n[:, 0], 1.0)
-    return pi_target, root_q, action
+    return pi_target, root_q, action, PackedCarry(packed, states, parent,
+                                                  pact_arr)
 
 
 # ----------------------------------------------------------------------

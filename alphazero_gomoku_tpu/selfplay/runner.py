@@ -213,6 +213,14 @@ def play_games(
 
         def search(mcfg):
             if gumbel:
+                if reuse:
+                    from alphazero_gomoku_tpu.search.tree_pallas import (
+                        run_gumbel_packed_with_tree,
+                    )
+                    return run_gumbel_packed_with_tree(
+                        env, mcfg, eval_fn, net_params, k_search,
+                        carry=tree, root_states=states,
+                    )
                 from alphazero_gomoku_tpu.search.gumbel import (
                     run_gumbel_mcts,
                 )
@@ -237,7 +245,9 @@ def play_games(
             full_move = jnp.bool_(True)
             out = search(cfg.mcts)
         gumbel_act = None
-        if gumbel:
+        if gumbel and reuse:
+            pi, root_q, gumbel_act, tree = out
+        elif gumbel:
             pi, root_q, gumbel_act = out
         elif reuse:
             pi, root_q, tree = out

@@ -253,3 +253,59 @@ def test_gumbel_pcr_composition_packed():
     sums = np.asarray(traj.pis).sum(axis=-1)
     active = np.asarray(traj.active)
     assert ((sums[active] > 0.5) | (sums[active] < 1e-6)).all()
+
+
+def test_gumbel_reuse_empty_carry_matches_fresh():
+    """Gumbel with an empty reuse carry is semantically a fresh search
+    (same pi target and halving winner; slots merely shift by
+    reuse_budget-1)."""
+    from alphazero_gomoku_tpu.search.tree_pallas import (
+        init_packed_carry,
+        run_gumbel_packed,
+        run_gumbel_packed_with_tree,
+    )
+
+    env = GomokuEnv(SIZE)
+    states = env.init_batch(8)
+    states = jax.vmap(env.step)(states, jnp.arange(8, dtype=jnp.int32) + 18)
+    cfg_fresh = MCTSConfig(n_simulations=16, search="gumbel",
+                           gumbel_max_considered=8, add_noise=False,
+                           backend="pallas")
+    cfg_reuse = MCTSConfig(n_simulations=16, search="gumbel",
+                           gumbel_max_considered=8, add_noise=False,
+                           backend="pallas", reuse_budget=6,
+                           max_nodes=cfg_fresh.node_capacity + 6)
+    key = jax.random.PRNGKey(31)
+    pi_f, q_f, act_f = jax.jit(
+        lambda s, k: run_gumbel_packed(env, cfg_fresh, fake_eval_jax, None,
+                                       s, k))(states, key)
+    carry0 = init_packed_carry(env, cfg_reuse, states)
+    pi_r, q_r, act_r, carry = jax.jit(
+        lambda c, s, k: run_gumbel_packed_with_tree(
+            env, cfg_reuse, fake_eval_jax, None, k, carry=c, root_states=s)
+    )(carry0, states, key)
+    np.testing.assert_array_equal(np.asarray(act_f), np.asarray(act_r))
+    np.testing.assert_allclose(np.asarray(pi_f), np.asarray(pi_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(q_f), np.asarray(q_r), atol=1e-5)
+
+
+def test_gumbel_selfplay_with_reuse():
+    """Lockstep self-play: gumbel + cross-move subtree reuse thread the
+    packed carry through the move loop; games complete with legal
+    moves."""
+    from alphazero_gomoku_tpu.selfplay import SelfPlayConfig, play_games
+
+    env = GomokuEnv(SIZE)
+    cfg = SelfPlayConfig(
+        batch_games=8, temp_threshold=4, max_moves=10,
+        mcts=MCTSConfig(n_simulations=9, search="gumbel",
+                        gumbel_max_considered=4, add_noise=False,
+                        backend="pallas", reuse_budget=4, max_nodes=24),
+    )
+    traj = jax.jit(
+        lambda p, k: play_games(env, cfg, fake_eval_jax, p, k)
+    )(None, jax.random.PRNGKey(23))
+    assert int(np.asarray(traj.moves_played).max()) > 0
+    pis = np.asarray(traj.pis)
+    active = np.asarray(traj.active)
+    np.testing.assert_allclose(pis[active].sum(axis=-1), 1.0, atol=1e-4)
