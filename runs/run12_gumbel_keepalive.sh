@@ -20,7 +20,7 @@ while true; do
   PYTHONPATH=/root/repo:$PYTHONPATH JAX_COMPILATION_CACHE_DIR=/root/jax_cache python train.py \
     --board-size 15 --game gomoku \
     --num-iterations 200 --games-per-iteration 128 --n-simulations 64 \
-    --mcts-search gumbel --gumbel-max-considered 16 \
+    --mcts-search gumbel --gumbel-max-considered 16 --mcts-reuse-budget 48 \
     --n-res-blocks 6 --channels 128 --mcts-backend pallas --mcts-max-depth 56 \
     --inference int8 \
     --buffer-size 160000 --batch-size 128 --epochs-per-iter 1 \
