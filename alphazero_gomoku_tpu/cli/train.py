@@ -59,6 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "(see search/gumbel.py)")
     ap.add_argument("--gumbel-max-considered", type=int, default=16,
                     help="root actions entering sequential halving")
+    ap.add_argument("--gumbel-round-parallel", action="store_true",
+                    help="batch each halving round's simulations into "
+                         "one network call (latency lever for small "
+                         "game batches; serial-exact outside the "
+                         "endgame duplicate-candidate case)")
     ap.add_argument("--mcts-leaves-per-sim", type=int, default=1,
                     help="k leaves selected (with virtual loss) per "
                          "network call; 1 = reference-exact sequential "
@@ -184,6 +189,7 @@ def main(argv=None):
         mcts_reuse_budget=args.mcts_reuse_budget,
         mcts_search=args.mcts_search,
         gumbel_max_considered=args.gumbel_max_considered,
+        gumbel_round_parallel=args.gumbel_round_parallel,
         anchor_arena_every=args.anchor_arena_every,
         anchor_model_path=args.anchor_model_path,
         gate_mode=args.gate_mode,

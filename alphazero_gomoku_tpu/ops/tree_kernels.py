@@ -285,7 +285,7 @@ def select_walk(packed: jax.Array, layout: PackedLayout, cpuct: float,
 # gumbel select kernel (search/gumbel.py's walk on the packed layout)
 # ----------------------------------------------------------------------
 def _gumbel_select_kernel(layout: PackedLayout, depth_limit: int,
-                          c_visit: float, c_scale: float,
+                          c_visit: float, c_scale: float, fan: int,
                           packed_hbm, rootact_in,
                           leaf_ref, act_ref, pnodes_ref, pacts_ref, plen_ref,
                           rows_vmem, nodes_vmem, stopped_vmem, sems):
@@ -297,6 +297,11 @@ def _gumbel_select_kernel(layout: PackedLayout, depth_limit: int,
     * completedQ), action = argmax(pi' - N/(1+sum N)); the hop at depth 0
     takes the lane's forced ``root_action`` instead.  Stop/record/path
     semantics identical to :func:`_select_kernel`.
+
+    ``fan`` > 1 runs ``fan`` read-only walk lanes PER TREE (lane ``l``
+    walks tree ``l // fan``): the round-parallel gumbel driver batches
+    one halving round's simulations — each forcing a distinct root
+    action, hence walking a disjoint subtree — into one kernel launch.
     """
     a = layout.num_actions
     s = layout.seg
@@ -317,7 +322,7 @@ def _gumbel_select_kernel(layout: PackedLayout, depth_limit: int,
         def start(i, _):
             g = (nodes_vmem[i, 0] // GROUP) * GROUP
             pltpu.make_async_copy(
-                packed_hbm.at[lane0 + i, pl.ds(g, GROUP), :],
+                packed_hbm.at[(lane0 + i) // fan, pl.ds(g, GROUP), :],
                 rows_vmem.at[i], sems.at[i],
             ).start()
             return 0
@@ -326,7 +331,7 @@ def _gumbel_select_kernel(layout: PackedLayout, depth_limit: int,
         def wait(i, _):
             g = (nodes_vmem[i, 0] // GROUP) * GROUP
             pltpu.make_async_copy(
-                packed_hbm.at[lane0 + i, pl.ds(g, GROUP), :],
+                packed_hbm.at[(lane0 + i) // fan, pl.ds(g, GROUP), :],
                 rows_vmem.at[i], sems.at[i],
             ).wait()
             return 0
@@ -416,20 +421,27 @@ def _gumbel_select_kernel(layout: PackedLayout, depth_limit: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("layout", "depth_limit", "c_visit",
-                                    "c_scale", "interpret"))
+                                    "c_scale", "interpret", "fan"))
 def gumbel_select_walk(packed: jax.Array, root_actions: jax.Array,
                        layout: PackedLayout, depth_limit: int,
                        c_visit: float, c_scale: float,
-                       interpret: bool = False):
+                       interpret: bool = False, fan: int = 1):
     """Gumbel walk over B packed trees with per-lane forced root actions.
 
-    Same outputs as :func:`select_walk`.  ``root_actions`` i32 [B].
+    Same outputs as :func:`select_walk`.  ``root_actions`` i32 [B * fan];
+    with ``fan`` > 1 walk lane ``l`` reads tree ``l // fan`` (read-only
+    round-parallel batching, see :func:`_gumbel_select_kernel`) and every
+    output is sized ``[B * fan]`` / ``[depth, B * fan]``.
     """
-    b = packed.shape[0]
+    b = packed.shape[0] * fan
+    if root_actions.shape[0] != b:
+        raise ValueError(
+            f"root_actions has {root_actions.shape[0]} lanes, expected "
+            f"{packed.shape[0]} trees x fan {fan} = {b}")
     d = depth_limit
     tile, n_tiles = _lane_tiling(b)
     kernel = functools.partial(_gumbel_select_kernel, layout, depth_limit,
-                               c_visit, c_scale)
+                               c_visit, c_scale, fan)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),

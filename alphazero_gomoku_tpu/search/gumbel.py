@@ -143,13 +143,10 @@ def _improved_policy(tree: Tree, node, cfg: MCTSConfig):
     return jax.nn.softmax(scores)
 
 
-def _gumbel_select_and_expand(env, cfg: MCTSConfig, tree: Tree, slot,
-                              root_action):
-    """Forced root hop, then the deterministic non-root walk; allocate.
-
-    Mirrors ``tree._select_and_expand``'s expansion mechanics (orphan
-    slots on terminal stops, depth cap as leaf) with the Gumbel non-root
-    rule ``argmax pi'(a) - N(a)/(1 + sum N)`` instead of PUCT.
+def _gumbel_walk(cfg: MCTSConfig, tree: Tree, root_action):
+    """Read-only walk: forced root hop, then the deterministic non-root
+    rule ``argmax pi'(a) - N(a)/(1 + sum N)``.  Returns ``(node, action)``
+    — the stop node and the edge to expand (-1 on terminal/depth stops).
     """
 
     def cond(carry):
@@ -178,15 +175,15 @@ def _gumbel_select_and_expand(env, cfg: MCTSConfig, tree: Tree, slot,
         cond, body, (jnp.int32(0), jnp.int32(-1), jnp.bool_(False),
                      jnp.int32(0))
     )
+    return node, action
 
+
+def _gumbel_link(tree: Tree, node, action, slot, write_state):
+    """Write ``write_state`` at ``slot`` and link it under ``(node,
+    action)`` when expanding (shared by the serial and round-parallel
+    paths; orphan slots on terminal stops keep parent -1)."""
     expanding = action >= 0
     safe_action = jnp.maximum(action, 0)
-    parent_state = _node_state(tree, node)
-    child_state = env.step(parent_state, safe_action)
-    child_legal = env.legal_mask(child_state)
-    write_state = jax.tree_util.tree_map(
-        lambda x, y: jnp.where(expanding, x, y), child_state, parent_state
-    )
     tree = _write_node(tree, slot, write_state)
     tree = tree._replace(
         children=tree.children.at[node, safe_action].set(
@@ -195,8 +192,39 @@ def _gumbel_select_and_expand(env, cfg: MCTSConfig, tree: Tree, slot,
         parent=tree.parent.at[slot].set(jnp.where(expanding, node, -1)),
         parent_action=tree.parent_action.at[slot].set(action),
     )
-    leaf = jnp.where(expanding, slot, node)
+    return tree, jnp.where(expanding, slot, node)
+
+
+def _gumbel_select_and_expand(env, cfg: MCTSConfig, tree: Tree, slot,
+                              root_action):
+    """Forced root hop, then the deterministic non-root walk; allocate.
+
+    Mirrors ``tree._select_and_expand``'s expansion mechanics (orphan
+    slots on terminal stops, depth cap as leaf) with the Gumbel non-root
+    rule instead of PUCT.
+    """
+    node, action = _gumbel_walk(cfg, tree, root_action)
+    expanding = action >= 0
+    safe_action = jnp.maximum(action, 0)
+    parent_state = _node_state(tree, node)
+    child_state = env.step(parent_state, safe_action)
+    child_legal = env.legal_mask(child_state)
+    write_state = jax.tree_util.tree_map(
+        lambda x, y: jnp.where(expanding, x, y), child_state, parent_state
+    )
+    tree, leaf = _gumbel_link(tree, node, action, slot, write_state)
     return tree, leaf, child_legal
+
+
+def _gumbel_apply(env, cfg: MCTSConfig, tree: Tree, node, action, slot,
+                  write_state, probs, value, child_legal) -> Tree:
+    """Apply one precomputed simulation: link ``write_state`` at ``slot``
+    under ``(node, action)``, then store priors and back up (the
+    round-parallel path's sequential half — the walk, ``env.step``, and
+    the network eval already ran batched across the round)."""
+    tree, leaf = _gumbel_link(tree, node, action, slot, write_state)
+    return _apply_eval_and_backup(env, cfg, tree, leaf, slot, probs, value,
+                                  child_legal)
 
 
 def run_gumbel_mcts(
@@ -268,6 +296,59 @@ def run_gumbel_mcts(
     for m_k, visits in phases:
         n_phase = m_k * visits
 
+        def one_round(carry, r, m_k=m_k, sims_done=sims_done):
+            """One round-parallel step: the round's m_k simulations force
+            DISTINCT root actions, so their walks/evals are independent
+            of each other's writes (disjoint subtrees) and batch into one
+            network call; the tree updates then replay in serial slot
+            order.  See MCTSConfig.gumbel_round_parallel for the endgame
+            duplicate-candidate caveat."""
+            trees, ranked_k = carry
+            cand = ranked_k[:, :m_k]                              # [B, k]
+            cand_ok = jnp.take_along_axis(legal, cand, axis=1) > 0
+            root_act = jnp.where(cand_ok, cand,
+                                 ranked_k[:, :1]).astype(jnp.int32)
+            node, action = jax.vmap(lambda t, ra: jax.vmap(
+                lambda r1: _gumbel_walk(cfg, t, r1))(ra)
+            )(trees, root_act)                                    # [B, k]
+            expanding = action >= 0
+            safe = jnp.maximum(action, 0)
+            parent_state = jax.vmap(lambda t, nn: jax.vmap(
+                lambda n1: _node_state(t, n1))(nn))(trees, node)
+            child_state = jax.vmap(jax.vmap(env.step))(parent_state, safe)
+            child_legal = jax.vmap(jax.vmap(env.legal_mask))(child_state)
+            write_state = jax.tree_util.tree_map(
+                lambda c, p: jnp.where(
+                    expanding.reshape(
+                        expanding.shape + (1,) * (c.ndim - 2)), c, p),
+                child_state, parent_state)
+            obs = jax.vmap(jax.vmap(env.encode))(write_state)     # [B,k,..]
+            probs, values = eval_fn(
+                net_params, obs.reshape((batch * m_k,) + obs.shape[2:]))
+            probs = probs.reshape(batch, m_k, a)
+            values = values.reshape(batch, m_k)
+
+            xs = (
+                jnp.arange(m_k, dtype=jnp.int32),
+                node.T, action.T,
+                jax.tree_util.tree_map(
+                    lambda x: jnp.moveaxis(x, 1, 0), write_state),
+                jnp.moveaxis(probs, 1, 0), values.T,
+                jnp.moveaxis(child_legal.astype(probs.dtype), 1, 0),
+            )
+
+            def apply_col(trees, x):
+                c, nd, act, ws, pr, vl, cl = x
+                slot = sims_done + r * m_k + c + 1
+                trees = jax.vmap(
+                    lambda t, n1, a1, w1, p1, v1, l1: _gumbel_apply(
+                        env, cfg, t, n1, a1, slot, w1, p1, v1, l1)
+                )(trees, nd, act, ws, pr, vl, cl)
+                return trees, None
+
+            trees, _ = jax.lax.scan(apply_col, trees, xs)
+            return (trees, ranked_k), None
+
         def one_sim(carry, j):
             trees, ranked_k = carry
             slot = sims_done + j + 1
@@ -294,9 +375,14 @@ def run_gumbel_mcts(
             )(trees, leaves, probs, values, child_legal)
             return (trees, ranked_k), None
 
-        (trees, _), _ = jax.lax.scan(
-            one_sim, (trees, ranked),
-            jnp.arange(n_phase, dtype=jnp.int32))
+        if cfg.gumbel_round_parallel:
+            (trees, _), _ = jax.lax.scan(
+                one_round, (trees, ranked),
+                jnp.arange(visits, dtype=jnp.int32))
+        else:
+            (trees, _), _ = jax.lax.scan(
+                one_sim, (trees, ranked),
+                jnp.arange(n_phase, dtype=jnp.int32))
         sims_done += n_phase
 
         # halve: keep the top m_k//2 of the considered set by

@@ -120,6 +120,23 @@ class MCTSConfig:
     gumbel_max_considered: int = 16   # root actions entering halving
     gumbel_c_visit: float = 50.0      # sigma(q) = (c_visit + maxN)*c_scale*q
     gumbel_c_scale: float = 1.0
+    # Batch each halving ROUND's m_k simulations (one per surviving root
+    # action) into ONE tree walk + ONE network call.  Simulations within
+    # a round force DISTINCT root actions, so they descend into disjoint
+    # subtrees and read none of each other's writes — the batched form
+    # replays the serial schedule exactly (same slot numbering, same
+    # stats; differential-tested bit-equal).  The only divergence is the
+    # endgame degenerate case (fewer legal moves than m_k): the illegal-
+    # candidate fallback then forces DUPLICATE root actions in one round,
+    # which serially would descend a ply deeper but here re-visit the
+    # same root edge (the duplicate's expansion becomes an unreachable
+    # orphan; the backed-up value is identical because the duplicate
+    # evaluates the same child state).  Cuts network calls per move from
+    # n_simulations to the number of rounds (~n/m ... log m terms): a
+    # LATENCY lever for small-batch play (arenas, interactive players)
+    # where the MXU is far from saturated; at production self-play
+    # batches the forward is compute-bound and gains are small.
+    gumbel_round_parallel: bool = False
 
     def __post_init__(self):
         if self.fpu_mode not in ("zero", "parent"):
@@ -134,6 +151,9 @@ class MCTSConfig:
             if self.leaves_per_sim > 1:
                 raise ValueError("gumbel search does not support "
                                  "leaves_per_sim > 1")
+        elif self.gumbel_round_parallel:
+            raise ValueError(
+                "gumbel_round_parallel requires search='gumbel'")
         if self.leaves_per_sim < 1:
             raise ValueError(f"leaves_per_sim={self.leaves_per_sim} < 1")
         if (self.leaves_per_sim > 1

@@ -507,6 +507,96 @@ def run_gumbel_packed_with_tree(
     for m_k, visits in phases:
         n_phase = m_k * visits
 
+        def one_round(sim_carry, r, m_k=m_k, sims_done=sims_done):
+            """Round-parallel step: the round's m_k simulations force
+            DISTINCT root actions (disjoint subtrees), so all m_k walks
+            run in ONE kernel launch (``fan=m_k`` lanes per tree) and all
+            leaf evals in ONE network call; the backups then replay in
+            serial slot order.  Exactly serial-equivalent outside the
+            endgame duplicate-candidate case (see
+            MCTSConfig.gumbel_round_parallel)."""
+            packed, states, parent, pact_arr = sim_carry
+            cand = ranked[:, :m_k]                                # [B, k]
+            cand_ok = jnp.take_along_axis(legal, cand, axis=1) > 0
+            root_act = jnp.where(cand_ok, cand,
+                                 ranked[:, :1]).astype(jnp.int32)
+            leaf, action, pnodes, pacts, plen = gumbel_select_walk(
+                packed, root_act.reshape(batch * m_k), layout,
+                cfg.depth_limit, cfg.gumbel_c_visit, cfg.gumbel_c_scale,
+                interpret=interpret, fan=m_k)
+            leaf2 = leaf.reshape(batch, m_k)
+            action2 = action.reshape(batch, m_k)
+            expanding2 = action2 >= 0
+            safe2 = jnp.maximum(action2, 0)
+
+            parent_state = _unflat_board(jax.tree_util.tree_map(
+                lambda x: jax.vmap(lambda xb, i: xb[i])(x, leaf2), states
+            ), size, size)                                        # [B,k,..]
+            child_state = jax.vmap(jax.vmap(env.step))(parent_state, safe2)
+            write_state = jax.tree_util.tree_map(
+                lambda c, p: jnp.where(
+                    expanding2.reshape(
+                        expanding2.shape + (1,) * (c.ndim - 2)), c, p),
+                child_state, parent_state)
+
+            obs = jax.vmap(jax.vmap(env.encode))(write_state)
+            probs, values = eval_fn(
+                net_params, obs.reshape((batch * m_k,) + obs.shape[2:]))
+            probs = probs.reshape(batch, m_k, a)
+            values = values.reshape(batch, m_k)
+
+            terminal = write_state.done                           # [B, k]
+            leaf_value = jnp.where(
+                terminal,
+                jax.vmap(jax.vmap(
+                    lambda st: terminal_leaf_value(env, cfg, st)))(
+                        write_state),
+                values,
+            ).astype(jnp.float32)
+            child_legal = jax.vmap(jax.vmap(env.legal_mask))(
+                write_state).astype(probs.dtype)
+            signed_p = jax.vmap(jax.vmap(_signed_priors))(probs, child_legal)
+
+            d = pnodes.shape[0]
+            xs = (
+                jnp.arange(m_k, dtype=jnp.int32),
+                jnp.moveaxis(pnodes.reshape(d, batch, m_k), 2, 0),
+                jnp.moveaxis(pacts.reshape(d, batch, m_k), 2, 0),
+                plen.reshape(batch, m_k).T,
+                leaf_value.T,
+                expanding2.T,
+                jnp.moveaxis(signed_p, 1, 0),
+                terminal.T,
+                jax.tree_util.tree_map(
+                    lambda x: jnp.moveaxis(x, 1, 0),
+                    _flat_board(write_state)),
+                leaf2.T,
+                action2.T,
+            )
+
+            def apply_col(inner, x):
+                packed, states, parent, pact_arr = inner
+                c, pn, pa, pln, lv, ex, sp, dn, ws, lf, ac = x
+                slot = sims_done + r * m_k + c + slot_base
+                packed = backup_paths(
+                    packed, pn, pa, pln, lv, ex.astype(jnp.int32), slot,
+                    layout, signed_priors=sp, done=dn, interpret=interpret,
+                )
+                states = jax.tree_util.tree_map(
+                    lambda st, wsb: jax.vmap(
+                        lambda stb, w1: jax.lax.dynamic_update_index_in_dim(
+                            stb, w1, slot, 0)
+                    )(st, wsb),
+                    states, ws,
+                )
+                parent = parent.at[:, slot].set(jnp.where(ex, lf, -1))
+                pact_arr = pact_arr.at[:, slot].set(ac)
+                return (packed, states, parent, pact_arr), None
+
+            inner, _ = jax.lax.scan(
+                apply_col, (packed, states, parent, pact_arr), xs)
+            return inner, None
+
         def one_sim(sim_carry, j):
             packed, states, parent, pact_arr = sim_carry
             slot = sims_done + j + slot_base
@@ -569,9 +659,14 @@ def run_gumbel_packed_with_tree(
             pact_arr = pact_arr.at[:, slot].set(action)
             return (packed, states, parent, pact_arr), None
 
-        (packed, states, parent, pact_arr), _ = jax.lax.scan(
-            one_sim, (packed, states, parent, pact_arr),
-            jnp.arange(n_phase, dtype=jnp.int32))
+        if cfg.gumbel_round_parallel:
+            (packed, states, parent, pact_arr), _ = jax.lax.scan(
+                one_round, (packed, states, parent, pact_arr),
+                jnp.arange(visits, dtype=jnp.int32))
+        else:
+            (packed, states, parent, pact_arr), _ = jax.lax.scan(
+                one_sim, (packed, states, parent, pact_arr),
+                jnp.arange(n_phase, dtype=jnp.int32))
         sims_done += n_phase
 
         # halve: keep the top half of the considered set by

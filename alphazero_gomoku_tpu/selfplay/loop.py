@@ -159,6 +159,9 @@ def train_alphazero(
     mcts_search: str = "puct",         # "puct" (reference) | "gumbel"
                                        # (sequential halving, gumbel.py)
     gumbel_max_considered: int = 16,
+    gumbel_round_parallel: bool = False,  # batch each halving round's
+                                          # sims into one forward (see
+                                          # MCTSConfig.gumbel_round_parallel)
     # hold-out anchor arena: every N iterations (0 = off) the candidate
     # also plays a FIXED anchor net — by default a frozen copy of the
     # starting weights, or the checkpoint at anchor_model_path. Unlike
@@ -415,6 +418,8 @@ def train_alphazero(
             reuse_budget=mcts_reuse_budget,
             search=mcts_search,
             gumbel_max_considered=gumbel_max_considered,
+            gumbel_round_parallel=(gumbel_round_parallel
+                                   and mcts_search == "gumbel"),
         ),
     )
     arena_cfg = MCTSConfig(
@@ -426,6 +431,8 @@ def train_alphazero(
         fpu_mode=mcts_fpu_mode,
         search=mcts_search,
         gumbel_max_considered=gumbel_max_considered,
+        gumbel_round_parallel=(gumbel_round_parallel
+                               and mcts_search == "gumbel"),
     )
     arena_half_fn = None
     if selfplay_mode == "continuous":

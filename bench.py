@@ -42,6 +42,7 @@ def run_bench(batch_games: int = 256, n_simulations: int = 400,
               dtype: str = "float32", infer: str = "f32",
               backend: str = "pallas", game: str = "gomoku",
               leaves_per_sim: int = 1, search: str = "puct",
+              gumbel_parallel: bool = False,
               vs_baseline: float = BASELINE_MOVES_PER_SEC,
               trace_dir: str = None) -> dict:
     """Lockstep self-play throughput (configs #2/#3/#4 shapes).
@@ -80,7 +81,9 @@ def run_bench(batch_games: int = 256, n_simulations: int = 400,
                         add_noise=(search == "puct"), dirichlet_alpha=0.05,
                         dirichlet_epsilon=0.15, dirichlet_moves=10,
                         max_depth=56, backend=backend,
-                        leaves_per_sim=leaves_per_sim, search=search),
+                        leaves_per_sim=leaves_per_sim, search=search,
+                        gumbel_round_parallel=(gumbel_parallel
+                                               and search == "gumbel")),
     )
 
     del warmup_moves  # single compiled program; warmup = first invocation
@@ -277,6 +280,10 @@ if __name__ == "__main__":
                     help="root search algorithm (gumbel: sequential "
                          "halving, noise off; measure with fewer --sims — "
                          "strength-per-sim A/B in tools/gumbel_ab.py)")
+    ap.add_argument("--gumbel-parallel", action="store_true",
+                    help="batch each halving round's sims into one NN "
+                         "call (latency lever for small batches; exact "
+                         "outside the endgame duplicate case)")
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="capture a jax.profiler device trace of the "
                     "measured run into DIR (view with xprof/tensorboard)")
@@ -288,6 +295,6 @@ if __name__ == "__main__":
             batch_games=a.batch, n_simulations=a.sims, infer=a.infer,
             backend=a.backend, n_res_blocks=a.blocks, channels=a.channels,
             game=a.game, measure_moves=a.moves, leaves_per_sim=a.kleaf,
-            search=a.search,
+            search=a.search, gumbel_parallel=a.gumbel_parallel,
             trace_dir=a.trace,
         )))

@@ -309,3 +309,161 @@ def test_gumbel_selfplay_with_reuse():
     pis = np.asarray(traj.pis)
     active = np.asarray(traj.active)
     np.testing.assert_allclose(pis[active].sum(axis=-1), 1.0, atol=1e-4)
+
+def test_gumbel_round_parallel_matches_serial_xla():
+    """Round-parallel gumbel (one NN call per halving round) is BIT-EXACT
+    vs the serial XLA driver on midgame boards (every lane has >= m legal
+    actions, so every round's candidates are distinct and the disjoint-
+    subtree argument gives exact serial equivalence)."""
+    import dataclasses
+
+    rng = np.random.default_rng(9)
+    env = GomokuEnv(SIZE)
+    boards = np.zeros((8, SIZE, SIZE), np.int8)
+    for b in range(8):
+        cells = rng.choice(A, size=10, replace=False)
+        boards[b].reshape(-1)[cells[:5]] = 1
+        boards[b].reshape(-1)[cells[5:]] = 2
+    states = jax.vmap(lambda bd: env.from_board(bd, 1))(jnp.asarray(boards))
+    cfg_s = gcfg(24, m=8)
+    cfg_p = dataclasses.replace(cfg_s, gumbel_round_parallel=True)
+    key = jax.random.PRNGKey(13)
+    pi_s, q_s, act_s = jax.jit(
+        lambda s, k: run_gumbel_mcts(env, cfg_s, fake_eval_jax, None, s, k)
+    )(states, key)
+    pi_p, q_p, act_p = jax.jit(
+        lambda s, k: run_gumbel_mcts(env, cfg_p, fake_eval_jax, None, s, k)
+    )(states, key)
+    np.testing.assert_array_equal(np.asarray(act_s), np.asarray(act_p))
+    np.testing.assert_array_equal(np.asarray(pi_s), np.asarray(pi_p))
+    np.testing.assert_array_equal(np.asarray(q_s), np.asarray(q_p))
+
+
+def test_gumbel_round_parallel_matches_serial_packed():
+    """Packed round-parallel (fan-lane walk kernel, interpret mode) is
+    BIT-EXACT vs the packed serial driver, and matches the XLA serial
+    driver to float tolerance."""
+    import dataclasses
+
+    from alphazero_gomoku_tpu.search.tree_pallas import run_gumbel_packed
+
+    rng = np.random.default_rng(7)
+    env = GomokuEnv(SIZE)
+    boards = np.zeros((8, SIZE, SIZE), np.int8)
+    for b in range(8):
+        cells = rng.choice(A, size=12, replace=False)
+        boards[b].reshape(-1)[cells[:6]] = 1
+        boards[b].reshape(-1)[cells[6:]] = 2
+    states = jax.vmap(lambda bd: env.from_board(bd, 1))(jnp.asarray(boards))
+    cfg_s = gcfg(24, m=8, backend="pallas")
+    cfg_p = dataclasses.replace(cfg_s, gumbel_round_parallel=True)
+    key = jax.random.PRNGKey(5)
+    pi_s, q_s, act_s = jax.jit(
+        lambda s, k: run_gumbel_packed(env, cfg_s, fake_eval_jax, None, s, k)
+    )(states, key)
+    pi_p, q_p, act_p = jax.jit(
+        lambda s, k: run_gumbel_packed(env, cfg_p, fake_eval_jax, None, s, k)
+    )(states, key)
+    np.testing.assert_array_equal(np.asarray(act_s), np.asarray(act_p))
+    np.testing.assert_array_equal(np.asarray(pi_s), np.asarray(pi_p))
+    np.testing.assert_array_equal(np.asarray(q_s), np.asarray(q_p))
+
+    cfg_x = dataclasses.replace(cfg_s, backend="xla")
+    pi_x, _, act_x = jax.jit(
+        lambda s, k: run_gumbel_mcts(env, cfg_x, fake_eval_jax, None, s, k)
+    )(states, key)
+    np.testing.assert_array_equal(np.asarray(act_x), np.asarray(act_p))
+    np.testing.assert_allclose(np.asarray(pi_x), np.asarray(pi_p), atol=1e-5)
+
+
+def test_gumbel_round_parallel_endgame_duplicates_valid():
+    """With fewer legal moves than m the illegal-candidate fallback forces
+    DUPLICATE root actions inside one round (the documented divergence
+    from serial): the search must still return a normalized, legal pi and
+    find the win-in-one."""
+    import dataclasses
+
+    env = GomokuEnv(SIZE)
+    # the win-in-one board: blocked four, 6 empty cells, m=8 > 6 legal
+    board = np.zeros((SIZE, SIZE), np.int8)
+    board[3, 1:5] = 1
+    board[3, 0] = 2
+    empties = {(3, 5), (3, 6), (0, 0), (0, 6), (6, 0), (6, 6)}
+    pat = [1, 2, 2, 1, 2, 1, 1, 2, 1, 2, 2, 1]
+    k = 0
+    for r in range(SIZE):
+        for c in range(SIZE):
+            if (r, c) in empties or board[r, c] != 0:
+                continue
+            board[r, c] = pat[k % len(pat)]
+            k += 1
+    states = jax.vmap(lambda bd: env.from_board(bd, 1))(
+        jnp.asarray(board[None].repeat(8, 0)))
+    legal = np.asarray(jax.vmap(env.legal_mask)(states))
+    assert 0 < legal[0].sum() < 8
+    cfg = dataclasses.replace(gcfg(16, m=8), gumbel_round_parallel=True)
+    pi, q, act = jax.jit(
+        lambda s, k: run_gumbel_mcts(env, cfg, fake_eval_jax, None, s, k)
+    )(states, jax.random.PRNGKey(3))
+    pi = np.asarray(pi)
+    np.testing.assert_allclose(pi.sum(axis=-1), 1.0, atol=1e-5)
+    assert (pi[legal == 0] < 1e-6).all()
+    assert (np.asarray(act) == 3 * SIZE + 5).all()
+
+
+def test_gumbel_round_parallel_reuse_carry_matches_serial():
+    """Round-parallel composes with cross-move subtree reuse: search move
+    1, advance the packed carry, and the move-2 search from the CARRIED
+    tree is bit-exact between the parallel and serial drivers."""
+    import dataclasses
+
+    from alphazero_gomoku_tpu.search.tree_pallas import (
+        init_packed_carry,
+        packed_advance_root,
+        run_gumbel_packed_with_tree,
+    )
+
+    env = GomokuEnv(SIZE)
+    states = env.init_batch(8)
+    states = jax.vmap(env.step)(states, jnp.arange(8, dtype=jnp.int32) + 18)
+    cfg_s = MCTSConfig(n_simulations=16, search="gumbel",
+                       gumbel_max_considered=8, add_noise=False,
+                       backend="pallas", reuse_budget=6, max_nodes=23)
+    cfg_p = dataclasses.replace(cfg_s, gumbel_round_parallel=True)
+    key1, key2 = jax.random.split(jax.random.PRNGKey(41))
+
+    def two_moves(cfg):
+        carry = init_packed_carry(env, cfg, states)
+        _, _, act, carry = run_gumbel_packed_with_tree(
+            env, cfg, fake_eval_jax, None, key1, carry=carry,
+            root_states=states)
+        carry = packed_advance_root(env, cfg, carry, act)
+        return run_gumbel_packed_with_tree(
+            env, cfg, fake_eval_jax, None, key2, carry=carry)[:3]
+
+    pi_s, q_s, act_s = jax.jit(lambda: two_moves(cfg_s))()
+    pi_p, q_p, act_p = jax.jit(lambda: two_moves(cfg_p))()
+    np.testing.assert_array_equal(np.asarray(act_s), np.asarray(act_p))
+    np.testing.assert_array_equal(np.asarray(pi_s), np.asarray(pi_p))
+    np.testing.assert_array_equal(np.asarray(q_s), np.asarray(q_p))
+
+
+def test_gumbel_round_parallel_selfplay_games_complete():
+    """Lockstep self-play with the round-parallel flag (packed backend):
+    games complete with legal normalized targets."""
+    from alphazero_gomoku_tpu.selfplay import SelfPlayConfig, play_games
+
+    env = GomokuEnv(SIZE)
+    cfg = SelfPlayConfig(
+        batch_games=8, temp_threshold=4, max_moves=10,
+        mcts=MCTSConfig(n_simulations=12, search="gumbel",
+                        gumbel_max_considered=4, add_noise=False,
+                        backend="pallas", gumbel_round_parallel=True),
+    )
+    traj = jax.jit(
+        lambda p, k: play_games(env, cfg, fake_eval_jax, p, k)
+    )(None, jax.random.PRNGKey(11))
+    assert int(np.asarray(traj.moves_played).max()) > 0
+    pis = np.asarray(traj.pis)
+    active = np.asarray(traj.active)
+    np.testing.assert_allclose(pis[active].sum(axis=-1), 1.0, atol=1e-4)

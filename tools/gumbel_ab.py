@@ -43,6 +43,11 @@ def main(argv=None):
     ap.add_argument("--max-depth", type=int, default=56)
     ap.add_argument("--fpu", default="zero", choices=["zero", "parent"],
                     help="PUCT side's first-play urgency")
+    ap.add_argument("--round-parallel", action="store_true",
+                    help="gumbel side: batch each halving round's sims "
+                         "into one forward (serial-exact off the endgame "
+                         "duplicate case; big latency win at arena "
+                         "batches)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -61,6 +66,7 @@ def main(argv=None):
     bundle = bundle_of(model)
     cfg_g = MCTSConfig(n_simulations=args.gumbel_sims, search="gumbel",
                        gumbel_max_considered=args.m, add_noise=False,
+                       gumbel_round_parallel=args.round_parallel,
                        max_depth=args.max_depth)
     cfg_p = MCTSConfig(n_simulations=args.puct_sims, cpuct=1.0,
                        add_noise=False, max_depth=args.max_depth,
