@@ -139,3 +139,52 @@ def test_continuous_playout_cap_randomization():
     assert full_t.any() and cheap_t.any()
     assert np.asarray(rec.recorded).all()         # cheap plies stay samples
     np.testing.assert_allclose(sums[full_t], 1.0, atol=1e-5)
+
+
+def _run_gumbel_stream(round_parallel, total_steps=24, batch=4, seed=3):
+    """Auto-reset stream driven by the gumbel search (XLA driver)."""
+    env = GomokuEnv(SIZE)
+    cfg = SelfPlayConfig(
+        batch_games=batch, temp_threshold=5,
+        mcts=MCTSConfig(n_simulations=8, cpuct=1.25,
+                        search="gumbel", gumbel_max_considered=4,
+                        gumbel_round_parallel=round_parallel),
+    )
+    return jax.jit(
+        lambda p, k: play_games_continuous(env, cfg, fake_eval_jax, p, k,
+                                           total_steps)
+    )(None, jax.random.PRNGKey(seed))
+
+
+def test_continuous_gumbel_stream():
+    """Gumbel search drives the auto-reset stream: segments stay valid and
+    every recorded pi is the improved-policy training target (sums to 1)."""
+    # gumbel plays the halving winner (argmax, no temperature), so games
+    # run longer than the sampled-PUCT streams; 7x7 fills by ply 49, which
+    # guarantees every lane ends (win or full-board draw) within 52 steps
+    t = 52
+    rec = _run_gumbel_stream(round_parallel=False, total_steps=t)
+    ended = np.asarray(rec.ended)
+    boards = np.asarray(rec.boards)
+    players = np.asarray(rec.players)
+    assert ended.any(axis=0).all()      # every lane finished a game
+    for lane in range(4):
+        for step in range(t - 1):
+            if ended[step, lane]:
+                assert (boards[step + 1, lane] == 0).all()
+                assert players[step + 1, lane] == 1
+    np.testing.assert_allclose(np.asarray(rec.pis).sum(-1), 1.0, atol=1e-4)
+    # collection works on the gumbel stream too
+    _, _, zs, stats = collect_examples_continuous(rec, use_symmetries=False)
+    assert len(zs) > 0 and sum(stats.values()) == int(ended.sum())
+
+
+def test_continuous_gumbel_round_parallel_differential():
+    """Round-parallel halving rounds are bit-exact vs the serial schedule
+    when driving the continuous stream (same PRNG keys, same resets)."""
+    a = _run_gumbel_stream(round_parallel=False)
+    b = _run_gumbel_stream(round_parallel=True)
+    for x, y in zip(a, b):
+        if x is None:
+            continue
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
