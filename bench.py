@@ -239,6 +239,15 @@ def run_all() -> dict:
     print(json.dumps(results["4_pente_full_net"]), flush=True)
     results["5_training_loop"] = bench_training_iteration()
     print(json.dumps(results["5_training_loop"]), flush=True)
+    # Config #6 (round 2): equal-strength gumbel self-play.  gumbel@64
+    # (m=16) measured at strength parity with puct@400 on the shipped
+    # net (tools/gumbel_ab.py: 0.469 [0.31, 0.64] over 32 mirrored
+    # games), so this is the same self-play workload at 6.25x fewer
+    # simulations per move.
+    results["6_gumbel_equal_strength"] = run_bench(
+        batch_games=256, n_simulations=64, search="gumbel",
+        measure_moves=48, infer="int8")
+    print(json.dumps(results["6_gumbel_equal_strength"]), flush=True)
 
     try:  # publish into BASELINE.json
         import datetime
