@@ -42,9 +42,10 @@ def main(argv=None):
     from alphazero_gomoku_tpu.selfplay import evaluate_params_detailed
     from alphazero_gomoku_tpu.selfplay.loop import bundle_of, make_eval_fn
 
-    env = make_env(args.game, args.size)
     ma = AZModel.from_checkpoint(args.ckpt_a, board_size=args.size)
     mb = AZModel.from_checkpoint(args.ckpt_b, board_size=args.size)
+    env = make_env(args.game, args.size,
+                   capture_planes=ma.cfg.in_channels == 5)
     if ma.cfg != mb.cfg:
         raise SystemExit(f"architecture mismatch: {ma.cfg} vs {mb.cfg}")
     cfg = MCTSConfig(n_simulations=args.sims, cpuct=1.0, add_noise=False,

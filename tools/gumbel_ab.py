@@ -61,7 +61,8 @@ def main(argv=None):
     from alphazero_gomoku_tpu.selfplay.loop import bundle_of, make_eval_fn
 
     model = AZModel.from_checkpoint(args.ckpt)
-    env = make_env(args.game, args.size)
+    env = make_env(args.game, args.size,
+                   capture_planes=model.cfg.in_channels == 5)
     eval_fn = make_eval_fn(model.cfg)
     bundle = bundle_of(model)
     cfg_g = MCTSConfig(n_simulations=args.gumbel_sims, search="gumbel",
