@@ -28,6 +28,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--temp-threshold", type=int, default=10)
     ap.add_argument("--eval-games", type=int, default=60)
     ap.add_argument("--eval-mcts-simulations", type=int, default=1600)
+    ap.add_argument("--eval-every", type=int, default=1,
+                    help="run the candidate-vs-best arena every N "
+                         "iterations (skipped iterations keep training; "
+                         "see train_alphazero)")
     ap.add_argument("--win-rate-threshold", type=float, default=0.5)
     ap.add_argument("--dirichlet-alpha", type=float, default=0.05)
     ap.add_argument("--dirichlet-epsilon", type=float, default=0.15)
@@ -171,6 +175,7 @@ def main(argv=None):
         temp_threshold=args.temp_threshold,
         eval_games=args.eval_games,
         eval_mcts_simulations=args.eval_mcts_simulations,
+        eval_every=args.eval_every,
         win_rate_threshold=args.win_rate_threshold,
         cpuct=args.cpuct,
         model_dir=args.model_dir,

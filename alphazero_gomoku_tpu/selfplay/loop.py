@@ -133,6 +133,14 @@ def train_alphazero(
     temp_threshold: int = 8,
     eval_games: int = 12,
     eval_mcts_simulations: int = 200,
+    # run the candidate-vs-best arena only every N iterations (1 =
+    # reference parity: every iteration).  At gumbel self-play speeds the
+    # 64-game arena is ~1/3 of iteration wall time (run-14: selfplay 8 s,
+    # train 3 s, arena 10.5 s), and in "track" gate mode the arena only
+    # decides when `best` advances — spacing it out trades gate latency
+    # for throughput.  Skipped iterations keep training (even in "reset"
+    # mode: no arena, no reset) and record win_rate=None in the history.
+    eval_every: int = 1,
     win_rate_threshold: float = 0.55,
     cpuct: float = 1.2,
     model_dir: str = "models",
@@ -352,9 +360,10 @@ def train_alphazero(
         def search_bundle(model):
             cached = _fold_cache.get(model)
             if cached is None or cached[0] is not model.params:
-                cached = (model.params, fold(
-                    model.cfg, model.params, model.batch_stats
-                ))
+                with timer.phase("quantize"):
+                    cached = (model.params, fold(
+                        model.cfg, model.params, model.batch_stats
+                    ))
                 _fold_cache[model] = cached
             return cached[1]
     elif inference == "int8":
@@ -386,9 +395,13 @@ def train_alphazero(
         def search_bundle(model):
             cached = _q_cache.get(model)
             if cached is None or cached[0] is not model.params:
-                cached = (model.params, quantize_int8(
-                    model.cfg, model.params, model.batch_stats,
-                    _calib_states(model.cfg)))
+                # timed as its own phase: requantization runs on every
+                # params change (twice per iteration: post-train for the
+                # arena, and for the next iteration's self-play)
+                with timer.phase("quantize"):
+                    cached = (model.params, quantize_int8(
+                        model.cfg, model.params, model.batch_stats,
+                        _calib_states(model.cfg)))
                 _q_cache[model] = cached
             return cached[1]
     elif inference == "f32":
@@ -505,6 +518,7 @@ def train_alphazero(
                     f"batches above {LANE_TILE} must be multiples of "
                     f"{LANE_TILE} (lane-tiled tree kernels)")
 
+    eval_every = max(1, eval_every)
     rng_np = np.random.default_rng(seed)
     history = []
     timer = PhaseTimer()
@@ -514,6 +528,7 @@ def train_alphazero(
 
     for it in range(next_iteration_continuation, end_iter):
         t_iter = time.time()
+        totals_at_iter_start = dict(timer.totals)
         if it == trace_iter:
             log(f"[profiler] capturing device trace of iteration {it} "
                 f"-> {start_profiler_trace(profile_trace_dir)}")
@@ -522,8 +537,9 @@ def train_alphazero(
             f"@ {datetime.now().strftime('%Y-%m-%d %H:%M:%S')} ===")
 
         # ---- phase 1: self-play --------------------------------------
+        bundle_cand = search_bundle(model_candidate)  # quantize phase
         with timer.phase("selfplay"), trace_annotation("selfplay"):
-            traj = selfplay_jit(search_bundle(model_candidate),
+            traj = selfplay_jit(bundle_cand,
                                 jax.random.PRNGKey(seed * 100003 + it))
             if mesh is not None:
                 # multi-host collection: all-gather the trajectory shards
@@ -535,18 +551,23 @@ def train_alphazero(
                     gather_trajectories,
                 )
                 traj = gather_trajectories(traj, mesh)
+            # block here so the selfplay phase times the device work and
+            # "collect" times only the host-side flattening
+            traj = jax.block_until_ready(traj)
+        with timer.phase("collect"):
             states, pis, zs, winners = collect(
                 traj, use_symmetries=use_symmetries,
                 value_target_mix=value_target_mix,
                 capture_planes=pente_capture_planes,
             )
-        written = buffer.add(states, pis, zs)
-        if dev_mirror is not None:
-            if len(written) == buffer.capacity:
-                dev_mirror = DeviceBufferMirror(   # full overwrite
-                    buffer, sharding=dev_mirror.sharding)
-            else:
-                dev_mirror.sync(states, pis, zs, written)
+        with timer.phase("buffer"):
+            written = buffer.add(states, pis, zs)
+            if dev_mirror is not None:
+                if len(written) == buffer.capacity:
+                    dev_mirror = DeviceBufferMirror(   # full overwrite
+                        buffer, sharding=dev_mirror.sharding)
+                else:
+                    dev_mirror.sync(states, pis, zs, written)
         if selfplay_mode == "continuous":
             n_moves = int(np.asarray(traj.ended).size)
             if len(zs) == 0:
@@ -567,7 +588,8 @@ def train_alphazero(
             pcr_note = (f", pcr full plies {full}/{n_valid} "
                         f"({full / n_valid:.2f})")
         log(f"self-play done: {sp_dt:.1f}s, {n_moves} moves "
-            f"({n_moves / max(sp_dt, 1e-9):.1f} moves/s), winners={winners}, "
+            f"({n_moves / max(sp_dt, 1e-9):.1f} moves/s), collect "
+            f"{timer.last['collect']:.1f}s, winners={winners}, "
             f"buffer={len(buffer)}{pcr_note}")
 
         # ---- phase 2: train ------------------------------------------
@@ -637,55 +659,72 @@ def train_alphazero(
                     f"{batch_size}); skipping training this iteration")
 
         # ---- phase 3: arena ------------------------------------------
-        with timer.phase("arena"), trace_annotation("arena"):
-            try:
-                arena_stats = evaluate_params_detailed(
-                    env, arena_cfg, eval_fn,
-                    search_bundle(model_candidate),
-                    search_bundle(model_best),
-                    eval_games, jax.random.PRNGKey(seed * 7919 + it),
-                    arena_half_fn=arena_half_fn,
-                )
-            except Exception as e:  # keep training alive (ref behaviour)
-                log(f"evaluation failed: {e}")
-                arena_stats = {"wins": 0, "played": 0, "draws": 0,
-                               "win_rate": 0.0, "ci95": (0.0, 1.0),
-                               "pairs": {"win_both": 0, "split": 0,
-                                         "loss_both": 0, "n": 0}}
-        new_wins, win_rate = arena_stats["wins"], arena_stats["win_rate"]
-        draws = arena_stats["draws"]
-        ci_lo, ci_hi = arena_stats["ci95"]
-        pairs = arena_stats["pairs"]
-        eval_dt = timer.last["arena"]
-        log(f"eval done: {eval_dt:.1f}s, win_rate={win_rate:.3f} "
-            f"({new_wins}/{eval_games}), draws={draws}, "
-            f"CI95=[{ci_lo:.2f},{ci_hi:.2f}], mirrored pairs "
-            f"W/S/L={pairs['win_both']}/{pairs['split']}/"
-            f"{pairs['loss_both']}")
+        run_arena = (it % eval_every == 0)
+        arena_stats = None
+        if run_arena:
+            bundle_cand = search_bundle(model_candidate)  # quantize phase
+            bundle_best = search_bundle(model_best)
+            with timer.phase("arena"), trace_annotation("arena"):
+                try:
+                    arena_stats = evaluate_params_detailed(
+                        env, arena_cfg, eval_fn,
+                        bundle_cand,
+                        bundle_best,
+                        eval_games, jax.random.PRNGKey(seed * 7919 + it),
+                        arena_half_fn=arena_half_fn,
+                    )
+                except Exception as e:  # keep training alive (ref behaviour)
+                    log(f"evaluation failed: {e}")
+                    arena_stats = {"wins": 0, "played": 0, "draws": 0,
+                                   "win_rate": 0.0, "ci95": (0.0, 1.0),
+                                   "pairs": {"win_both": 0, "split": 0,
+                                             "loss_both": 0, "n": 0}}
+        if arena_stats is not None:
+            new_wins, win_rate = arena_stats["wins"], arena_stats["win_rate"]
+            draws = arena_stats["draws"]
+            ci_lo, ci_hi = arena_stats["ci95"]
+            pairs = arena_stats["pairs"]
+            eval_dt = timer.last["arena"]
+            log(f"eval done: {eval_dt:.1f}s, win_rate={win_rate:.3f} "
+                f"({new_wins}/{eval_games}), draws={draws}, "
+                f"CI95=[{ci_lo:.2f},{ci_hi:.2f}], mirrored pairs "
+                f"W/S/L={pairs['win_both']}/{pairs['split']}/"
+                f"{pairs['loss_both']}")
+        else:
+            win_rate = None
+            draws = None
+            ci_lo = ci_hi = None
+            pairs = None
+            eval_dt = 0.0
+            log(f"arena skipped (eval_every={eval_every})")
 
         # ---- phase 3b: hold-out anchor arena (absolute strength) -----
         anchor_stats = None
         if model_anchor is not None and it % anchor_arena_every == 0:
-            try:
-                anchor_stats = evaluate_params_detailed(
-                    env, arena_cfg, eval_fn,
-                    search_bundle(model_candidate),
-                    search_bundle(model_anchor),
-                    eval_games, jax.random.PRNGKey(seed * 104729 + it),
-                    arena_half_fn=arena_half_fn,
-                )
-                a_lo, a_hi = anchor_stats["ci95"]
-                ap = anchor_stats["pairs"]
-                log(f"anchor arena: win_rate={anchor_stats['win_rate']:.3f}"
-                    f" ({anchor_stats['wins']}/{anchor_stats['played']}),"
-                    f" CI95=[{a_lo:.2f},{a_hi:.2f}], pairs W/S/L="
-                    f"{ap['win_both']}/{ap['split']}/{ap['loss_both']}")
-            except Exception as e:
-                log(f"anchor arena failed: {e}")
+            with timer.phase("anchor"):
+                try:
+                    anchor_stats = evaluate_params_detailed(
+                        env, arena_cfg, eval_fn,
+                        search_bundle(model_candidate),
+                        search_bundle(model_anchor),
+                        eval_games, jax.random.PRNGKey(seed * 104729 + it),
+                        arena_half_fn=arena_half_fn,
+                    )
+                    a_lo, a_hi = anchor_stats["ci95"]
+                    ap = anchor_stats["pairs"]
+                    log(f"anchor arena: "
+                        f"win_rate={anchor_stats['win_rate']:.3f}"
+                        f" ({anchor_stats['wins']}/{anchor_stats['played']}),"
+                        f" CI95=[{a_lo:.2f},{a_hi:.2f}], pairs W/S/L="
+                        f"{ap['win_both']}/{ap['split']}/{ap['loss_both']}")
+                except Exception as e:
+                    log(f"anchor arena failed: {e}")
 
-        # ---- phase 4: gate -------------------------------------------
-        accepted = win_rate >= win_rate_threshold
-        if accepted:
+        # ---- phase 4: gate (skipped along with the arena) --------------
+        accepted = run_arena and win_rate >= win_rate_threshold
+        if not run_arena:
+            pass  # no arena this iteration: best unchanged, no reset
+        elif accepted:
             log(" candidate ACCEPTED -> promoted to best")
             model_best.copy_weights_from(model_candidate)
         elif gate_mode == "reset":
@@ -721,8 +760,16 @@ def train_alphazero(
             stop_profiler_trace()
             log(f"[profiler] trace written to {profile_trace_dir}")
 
-        log(f"iteration {it} finished in {(time.time() - t_iter):.1f}s; "
-            f"winners={winners}")
+        it_total = time.time() - t_iter
+        phase_dt = {
+            k: timer.totals[k] - totals_at_iter_start.get(k, 0.0)
+            for k in timer.totals
+            if timer.totals[k] - totals_at_iter_start.get(k, 0.0) >= 0.05
+        }
+        other_dt = it_total - sum(phase_dt.values())
+        log(f"iteration {it} finished in {it_total:.1f}s ("
+            + ", ".join(f"{k} {v:.1f}" for k, v in phase_dt.items())
+            + f", other {other_dt:.1f}); winners={winners}")
         history.append({
             "iteration": it,
             "winners": winners,
@@ -732,7 +779,8 @@ def train_alphazero(
             "train_seconds": round(timer.last.get("train", 0.0), 3),
             "loss": loss_info,
             "win_rate": win_rate,
-            "win_rate_ci95": [round(ci_lo, 4), round(ci_hi, 4)],
+            "win_rate_ci95": ([round(ci_lo, 4), round(ci_hi, 4)]
+                              if run_arena else None),
             "arena_pairs": pairs,
             "anchor": anchor_stats,
             "draws": draws,

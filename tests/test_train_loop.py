@@ -162,6 +162,43 @@ def test_train_loop_end_to_end(tmp_path):
     assert hist2[0]["buffer_size"] >= hist[-1]["buffer_size"]
 
 
+def test_train_loop_eval_every_skips_arena(tmp_path):
+    """eval_every=2: odd iterations skip the arena (win_rate None, no
+    gate action) while training continues; arena iterations still gate."""
+    hist = train_alphazero(
+        game_name="gomoku",
+        board_size=SIZE,
+        num_iterations=3,
+        games_per_iteration=4,
+        n_simulations=8,
+        buffer_size=4000,
+        batch_size=64,
+        epochs_per_iter=1,
+        temp_threshold=4,
+        eval_games=2,
+        eval_mcts_simulations=8,
+        eval_every=2,
+        win_rate_threshold=0.55,
+        n_res_blocks=1,
+        channels=8,
+        model_dir=str(tmp_path / "models"),
+        seed=0,
+        verbose=False,
+    )
+    assert len(hist) == 3
+    # iterations 1 and 3 skip (1 % 2 == 1), iteration 2 runs the arena
+    assert hist[0]["win_rate"] is None
+    assert hist[0]["win_rate_ci95"] is None
+    assert hist[0]["accepted"] is False
+    assert hist[0]["eval_seconds"] == 0.0
+    assert hist[1]["win_rate"] is not None
+    assert 0.0 <= hist[1]["win_rate"] <= 1.0
+    assert hist[2]["win_rate"] is None
+    # training ran on every iteration regardless of the skipped arena
+    for h in hist[1:]:
+        assert h["loss"] is not None
+
+
 @pytest.mark.slow
 def test_train_loop_continuous_mode(tmp_path):
     hist = train_alphazero(
