@@ -30,9 +30,9 @@ if [ -z "$LAST" ]; then
   exit 0
 fi
 echo "=== [$(date -u)] run-14 harvest: LAST=$LAST ==="
-echo "=== f32 puct@400 mirrored pairs: LAST vs shipped best_pente (32 games) ==="
+echo "=== f32 puct@400 mirrored pairs: LAST vs shipped best_pente (64 games) ==="
 timeout 1500 python tools/compare_snapshots.py "$LAST" checkpoints/best_pente.ckpt \
-  --game pente --games 32 --sims 400 --seed 21 2>&1 | tee /tmp/run14_ab.out
+  --game pente --games 64 --sims 400 --seed 21 2>&1 | tee /tmp/run14_ab.out
 AB=$(grep -E '^\{' /tmp/run14_ab.out | tail -1)
 echo "$AB" > metrics/run14_harvest_ab.json
 
