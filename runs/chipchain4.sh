@@ -17,6 +17,16 @@ while ! grep -q "chain3 done" runs/chipchain3.log 2>/dev/null; do
   sleep 30
 done
 
+# idle-chip window: run the batch-512 fault bisect (ROADMAP #3, the one
+# untriaged fault) before committing the chip to run-15.  The harness
+# crashes the worker on purpose (probes are subprocesses; the worker
+# restarts in ~1 min) — time-boxed so run-15 still gets the bulk of the
+# window.
+echo "=== [$(date -u)] chain4: batch-512 bisect (time-boxed 40 min) ==="
+timeout 2400 python repro/bisect_batch512_fault.py > runs/bisect512.log 2>&1
+echo "=== [$(date -u)] chain4: bisect done (rc=$?) ==="
+sleep 90   # let the worker settle after the last crash probe
+
 nohup bash runs/run15_gomoku_gumbel2.sh > /dev/null 2>&1 &
 echo $! > /tmp/run15_outer.pid
 echo "=== [$(date -u)] chain4: run-15 launched ==="
