@@ -57,6 +57,12 @@ class GomokuEnv:
         return 3
 
     @property
+    def obs_plane_scales(self):
+        """Per-plane integer scales for exact uint8 replay storage
+        (selfplay.buffer): all planes are binary -> scale 1."""
+        return (1.0, 1.0, 1.0)
+
+    @property
     def name(self) -> str:
         return "gomoku"
 

@@ -67,6 +67,16 @@ class PenteEnv:
         return 5 if self.capture_planes else 3
 
     @property
+    def obs_plane_scales(self):
+        """Per-plane integer scales for exact uint8 replay storage
+        (selfplay.buffer): binary planes scale 1; the captured-pair
+        planes hold k/pairs_to_win (k <= 4 in any recorded position,
+        the game ends at 5) -> scale 5 stores k itself."""
+        if self.capture_planes:
+            return (1.0, 1.0, 1.0, 5.0, 5.0)
+        return (1.0, 1.0, 1.0)
+
+    @property
     def name(self) -> str:
         return "pente"
 

@@ -29,6 +29,7 @@ import functools
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -209,7 +210,9 @@ def make_sharded_gather_epoch(net_cfg, tx, mesh: Mesh, axis: str = "data",
     Replaces shipping steps*batch pre-sampled samples (~1 GB/iteration)
     through the host link, which made the sharded train phase link-bound.
 
-    Returns ``fn(params, batch_stats, opt_state, states, pis, zs, idx)``;
+    Returns ``fn(params, batch_stats, opt_state, states, pis, zs, idx,
+    inv_scales)`` (``inv_scales`` = the ring's per-channel uint8 decode
+    multipliers, ``DeviceBufferMirror.inv_scales``);
     the ring arrays must already carry the mesh's replicated sharding
     (DeviceBufferMirror(sharding=...)), otherwise every call re-broadcasts
     them.
@@ -219,14 +222,16 @@ def make_sharded_gather_epoch(net_cfg, tx, mesh: Mesh, axis: str = "data",
 
     @functools.partial(
         jax.jit,
-        in_shardings=(repl, repl, repl, repl, repl, repl, idx_shard),
+        in_shardings=(repl, repl, repl, repl, repl, repl, idx_shard, repl),
         out_shardings=repl,
     )
     def epoch_fn(params, batch_stats, opt_state, dev_states, dev_pis,
-                 dev_zs, idx):
+                 dev_zs, idx, inv_scales):
         def step(carry, ib):
             params, stats, opt = carry
             x = dev_states[ib]
+            if x.dtype == jnp.uint8:  # ring stores encoded planes
+                x = x.astype(jnp.float32) * inv_scales
             pi = dev_pis[ib]
             z = dev_zs[ib].reshape(-1, 1)
             params, stats, opt, metrics = train_step_fn(

@@ -2,32 +2,86 @@
 
 Equivalent of the reference's ``deque``-of-tuples buffer and its pickle
 persistence (``/root/reference/train.py:272-354``), re-designed for array
-throughput: samples live in contiguous NumPy arrays (states NHWC float32,
-policies, outcomes), insertion is vectorized ring-write, sampling gathers a
-batch in one fancy-index.  Persistence uses ``np.savez_compressed`` with the
-same degrade-to-fresh-state semantics on load failure and the same
+throughput: samples live in contiguous NumPy arrays, insertion is
+vectorized ring-write, sampling gathers a batch in one fancy-index.
+Persistence uses ``np.savez_compressed`` with the same
+degrade-to-fresh-state semantics on load failure and the same
 capacity-mismatch warning.
+
+States are stored as ``uint8`` with a small integer scale PER CHANNEL
+(``u = round(x * scale)``) and decoded by one f32 multiply
+(``x = u * (1/scale)``).  The scales come from the game's encoding
+contract (``env.obs_plane_scales``): binary stone/colour planes use
+scale 1 (stored as 0/1 verbatim) and the Pente captured-pair planes
+(values k/5) use scale 5 (stored as k).  Both directions are BIT-EXACT:
+``k * f32(0.2) == f32(k / 5)`` for every k ≤ 5 — pinned by
+``tests/test_selfplay.py::test_buffer_uint8_roundtrip_is_exact`` — and
+a single IEEE multiply is reproducible across numpy, XLA:CPU and
+XLA:TPU (a *division* by the scale is NOT: XLA strength-reduces
+divide-by-constant non-correctly-rounded, measured 126/256 values off
+by 1 ulp on CPU).  The uint8 ring cuts host RAM, the device-mirror HBM
+footprint, the per-iteration host->device sync, and the compressed save
+size 4x (the production 160k x 15 x 15 x 5 ring: 720 MB -> 180 MB).
+Inputs outside [0, 255/scale] are clipped — the storage contract is
+"encoded observation planes", not arbitrary floats.
 """
 
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Optional, Sequence, Tuple, Union
 
 import numpy as np
+
+ScaleLike = Union[Sequence[float], np.ndarray, None]
+
+
+def _scales_array(channel_scales: ScaleLike, channels: int) -> np.ndarray:
+    if channel_scales is None:
+        return np.ones((channels,), np.float32)
+    s = np.asarray(channel_scales, np.float32)
+    if s.shape != (channels,):
+        raise ValueError(
+            f"channel_scales shape {s.shape} != ({channels},)")
+    return s
+
+
+def encode_states_u8(states: np.ndarray,
+                     channel_scales: ScaleLike = None) -> np.ndarray:
+    """f32 observation planes -> uint8 ring storage (exact, see module)."""
+    if states.dtype == np.uint8:
+        return states
+    s = _scales_array(channel_scales, states.shape[-1])
+    return np.clip(np.round(states.astype(np.float32) * s),
+                   0.0, 255.0).astype(np.uint8)
+
+
+def inv_scales_f32(channel_scales: ScaleLike, channels: int) -> np.ndarray:
+    """The decode multipliers ``f32(1/scale)`` (1/5 -> exactly f32(0.2))."""
+    return np.float32(1.0) / _scales_array(channel_scales, channels)
+
+
+def decode_states_f32(states_u8: np.ndarray,
+                      inv_scales: np.ndarray) -> np.ndarray:
+    """uint8 ring storage -> f32 planes (one correctly-rounded multiply)."""
+    if states_u8.dtype != np.uint8:
+        return states_u8
+    return states_u8.astype(np.float32) * inv_scales
 
 
 class ReplayBuffer:
     """Uniform-sampling ring buffer of (state, pi, z) training samples."""
 
     def __init__(self, capacity: int = 20000, board_size: int = 15,
-                 channels: int = 3):
+                 channels: int = 3, channel_scales: ScaleLike = None):
         self.capacity = int(capacity)
         self.board_size = board_size
         self.channels = channels
+        self.channel_scales = _scales_array(channel_scales, channels)
+        self.inv_scales = inv_scales_f32(self.channel_scales, channels)
         a = board_size * board_size
         self.states = np.zeros(
-            (self.capacity, board_size, board_size, channels), np.float32
+            (self.capacity, board_size, board_size, channels), np.uint8
         )
         self.pis = np.zeros((self.capacity, a), np.float32)
         self.zs = np.zeros((self.capacity,), np.float32)
@@ -43,6 +97,7 @@ class ReplayBuffer:
         n = len(zs)
         if n == 0:
             return np.zeros((0,), np.int64)
+        states = encode_states_u8(np.asarray(states), self.channel_scales)
         if n >= self.capacity:
             # only the newest `capacity` samples survive
             keep = slice(n - self.capacity, n)
@@ -66,7 +121,7 @@ class ReplayBuffer:
         rng = rng or np.random.default_rng()
         idx = rng.choice(self._size, size=batch_size, replace=False)
         return (
-            self.states[idx],
+            decode_states_f32(self.states[idx], self.inv_scales),
             self.pis[idx],
             self.zs[idx].reshape(-1, 1),
         )
@@ -101,6 +156,7 @@ def save_replay_buffer(buffer: ReplayBuffer, filepath: str) -> bool:
             pis=buffer.pis[order],
             zs=buffer.zs[order],
             capacity=np.int64(buffer.capacity),
+            channel_scales=buffer.channel_scales,
         )
         # np.savez appends .npz when missing; our tmp already ends with it
         os.replace(tmp, filepath)
@@ -112,7 +168,12 @@ def save_replay_buffer(buffer: ReplayBuffer, filepath: str) -> bool:
 
 
 def load_replay_buffer(filepath: str, capacity: int,
-                       board_size: int = 15) -> Optional[ReplayBuffer]:
+                       board_size: int = 15,
+                       channel_scales: ScaleLike = None
+                       ) -> Optional[ReplayBuffer]:
+    """``channel_scales`` is the caller's (env's) encoding contract; a
+    scale vector stored in the file wins (uint8-format saves carry it —
+    legacy f32 saves don't, and re-encode with the caller's on add)."""
     if not os.path.exists(filepath):
         print(f"[Buffer] no saved buffer at: {filepath}")
         return None
@@ -122,8 +183,11 @@ def load_replay_buffer(filepath: str, capacity: int,
             if saved_cap != capacity:
                 print(f"[Buffer] warning: saved capacity ({saved_cap}) != "
                       f"configured ({capacity})")
+            if "channel_scales" in data:
+                channel_scales = data["channel_scales"]
             buf = ReplayBuffer(capacity=capacity, board_size=board_size,
-                               channels=data["states"].shape[-1])
+                               channels=data["states"].shape[-1],
+                               channel_scales=channel_scales)
             buf.add(data["states"], data["pis"], data["zs"])
         print(f"[Buffer] loaded: {filepath} ({len(buf)} samples)")
         return buf
@@ -139,10 +203,12 @@ class DeviceBufferMirror:
     full pre-sampled batch stack — ``steps × batch`` samples, ~1 GB at
     the production config — through the host↔device link every
     iteration, and the train phase is link-bound, not compute-bound.
-    The mirror keeps the ring arrays in HBM (~430 MB at capacity 120k),
-    ships only each iteration's NEW samples (`sync` after
-    ``ReplayBuffer.add``), and the epoch gathers batches on device from
-    a tiny [steps, batch] index array.
+    The mirror keeps the ring arrays in HBM, ships only each iteration's
+    NEW samples (`sync` after ``ReplayBuffer.add``), and the epoch
+    gathers batches on device from a tiny [steps, batch] index array.
+    States ride as uint8 (the ring's storage encoding) and are decoded
+    to f32 inside the gather epoch after the per-batch gather — both the
+    HBM ring and the per-iteration sync move 4x less than f32.
 
     Sampling semantics are unchanged: callers draw the same
     without-replacement numpy index batches as the host path and pass
@@ -159,6 +225,11 @@ class DeviceBufferMirror:
 
         self.capacity = buffer.capacity
         self.sharding = sharding
+        self.channel_scales = buffer.channel_scales
+        # decode multipliers for the gather epoch ([C] f32 on device)
+        self.inv_scales = jnp.asarray(buffer.inv_scales)
+        if sharding is not None:
+            self.inv_scales = jax.device_put(self.inv_scales, sharding)
 
         def place(x):
             arr = jnp.asarray(x)
@@ -189,6 +260,7 @@ class DeviceBufferMirror:
                 if self.sharding is not None else arr
 
         pos = put(positions)
-        self.states = self.states.at[pos].set(put(states))
+        self.states = self.states.at[pos].set(
+            put(encode_states_u8(np.asarray(states), self.channel_scales)))
         self.pis = self.pis.at[pos].set(put(pis))
         self.zs = self.zs.at[pos].set(put(zs, self.zs.dtype))

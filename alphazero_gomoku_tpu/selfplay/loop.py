@@ -93,20 +93,24 @@ def train_epoch_fn(net_cfg, tx, params, batch_stats, opt_state, xs, pis, zs,
     return params, batch_stats, opt_state, last
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 9))
+@functools.partial(jax.jit, static_argnums=(0, 1, 10))
 def train_epoch_gather_fn(net_cfg, tx, params, batch_stats, opt_state,
-                          dev_states, dev_pis, dev_zs, idx,
+                          dev_states, dev_pis, dev_zs, idx, inv_scales,
                           value_loss_weight: float = 1.0):
     """Epoch over device-resident ring arrays, gathering per-step batches.
 
     ``idx`` is the [n_batches, batch] i32 sample-index array (same numpy
     without-replacement draws as the host path — the only thing shipped
-    to the device besides new samples).  Bit-identical to
-    :func:`train_epoch_fn` on host-gathered batches."""
+    to the device besides new samples).  ``inv_scales`` ([C] f32) are the
+    ring's per-channel decode multipliers (buffer.py: uint8 storage).
+    Bit-identical to :func:`train_epoch_fn` on host-gathered batches
+    (one correctly-rounded multiply on both paths)."""
 
     def step(carry, ib):
         params, stats, opt = carry
         x = dev_states[ib]
+        if x.dtype == jnp.uint8:   # ring stores encoded planes (buffer.py)
+            x = x.astype(jnp.float32) * inv_scales
         pi = dev_pis[ib]
         z = dev_zs[ib].reshape(-1, 1)
         params, stats, opt, metrics = train_step_fn(
@@ -328,8 +332,10 @@ def train_alphazero(
             model_anchor.copy_weights_from(model_best)
 
     buffer_path = os.path.join(model_dir, "replay_buffer_latest.npz")
+    plane_scales = getattr(env, "obs_plane_scales", None)
     buffer = load_replay_buffer(buffer_path, capacity=buffer_size,
-                                board_size=board_size)
+                                board_size=board_size,
+                                channel_scales=plane_scales)
     if buffer is not None and buffer.channels != env.obs_channels:
         log(f"[Buffer] saved buffer has {buffer.channels} obs channels but "
             f"this run encodes {env.obs_channels} (capture-planes toggled?); "
@@ -338,7 +344,8 @@ def train_alphazero(
     if buffer is None:
         log("[Buffer] starting with an empty buffer")
         buffer = ReplayBuffer(capacity=buffer_size, board_size=board_size,
-                              channels=env.obs_channels)
+                              channels=env.obs_channels,
+                              channel_scales=plane_scales)
     # device-resident ring mirror: single-device path only (the sharded
     # epoch keeps the host batch flow; see DeviceBufferMirror docstring)
     dev_mirror = DeviceBufferMirror(buffer) if mesh is None else None
@@ -618,7 +625,8 @@ def train_alphazero(
                             model_candidate.batch_stats,
                             model_candidate.opt_state,
                             dev_mirror.states, dev_mirror.pis,
-                            dev_mirror.zs, jnp.asarray(idx))
+                            dev_mirror.zs, jnp.asarray(idx),
+                            dev_mirror.inv_scales)
                     elif dev_mirror is not None:
                         # same RNG draws as buffer.sample_many — only the
                         # [steps, batch] index array crosses the link
@@ -637,6 +645,7 @@ def train_alphazero(
                             model_candidate.opt_state,
                             dev_mirror.states, dev_mirror.pis,
                             dev_mirror.zs, jnp.asarray(idx),
+                            dev_mirror.inv_scales,
                             value_loss_weight)
                     else:
                         xs, ps, zb = buffer.sample_many(n_batches, batch_size,

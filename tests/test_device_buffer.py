@@ -27,16 +27,22 @@ A = SIZE * SIZE
 
 
 def _samples(rng, n):
-    states = rng.standard_normal((n, SIZE, SIZE, 3)).astype(np.float32)
+    # valid observation-plane encodings (the ring's storage contract,
+    # buffer.py module docstring): binary stone planes + a constant
+    # k/5 capture-style plane — all exact under the uint8 encoding
+    planes = rng.integers(0, 2, (n, SIZE, SIZE, 2)).astype(np.float32)
+    k = (rng.integers(0, 5, (n, 1, 1, 1)).astype(np.float32) / 5.0)
+    states = np.concatenate(
+        [planes, np.broadcast_to(k, (n, SIZE, SIZE, 1))], axis=-1)
     pis = rng.random((n, A)).astype(np.float32)
     pis /= pis.sum(axis=1, keepdims=True)
     zs = rng.choice([-1.0, 0.0, 1.0], size=n).astype(np.float32)
-    return states, pis, zs
+    return np.ascontiguousarray(states), pis, zs
 
 
 def test_mirror_tracks_ring_through_wraparound():
     rng = np.random.default_rng(0)
-    buf = ReplayBuffer(capacity=100, board_size=SIZE)
+    buf = ReplayBuffer(capacity=100, board_size=SIZE, channel_scales=(1, 1, 5))
     mirror = DeviceBufferMirror(buf)
     for n in (40, 40, 40, 90):  # wraps twice
         s, p, z = _samples(rng, n)
@@ -51,7 +57,7 @@ def test_mirror_tracks_ring_through_wraparound():
 @pytest.mark.slow
 def test_gather_epoch_matches_host_epoch():
     rng = np.random.default_rng(1)
-    buf = ReplayBuffer(capacity=256, board_size=SIZE)
+    buf = ReplayBuffer(capacity=256, board_size=SIZE, channel_scales=(1, 1, 5))
     s, p, z = _samples(rng, 200)
     written = buf.add(s, p, z)
     mirror = DeviceBufferMirror(buf)  # seeds from the loaded buffer
@@ -73,7 +79,8 @@ def test_gather_epoch_matches_host_epoch():
         jnp.asarray(xs), jnp.asarray(ps), jnp.asarray(zb), 1.0)
     p2, bs2, o2, met2 = train_epoch_gather_fn(
         m2.cfg, m2.tx, m2.params, m2.batch_stats, m2.opt_state,
-        mirror.states, mirror.pis, mirror.zs, jnp.asarray(idx), 1.0)
+        mirror.states, mirror.pis, mirror.zs, jnp.asarray(idx),
+        mirror.inv_scales, 1.0)
 
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_array_equal(
@@ -99,7 +106,7 @@ def test_sharded_gather_epoch_matches_single_device():
     mesh = make_mesh()
     assert mesh.devices.size == 8
     rng = np.random.default_rng(11)
-    buf = ReplayBuffer(capacity=256, board_size=SIZE)
+    buf = ReplayBuffer(capacity=256, board_size=SIZE, channel_scales=(1, 1, 5))
     s, p, z = _samples(rng, 220)
     buf.add(s, p, z)
     mirror = DeviceBufferMirror(
@@ -121,11 +128,13 @@ def test_sharded_gather_epoch_matches_single_device():
     p1, bs1, o1, met1 = train_epoch_gather_fn(
         m1.cfg, m1.tx, m1.params, m1.batch_stats, m1.opt_state,
         jnp.asarray(buf.states), jnp.asarray(buf.pis),
-        jnp.asarray(buf.zs), jnp.asarray(idx), 1.0)
+        jnp.asarray(buf.zs), jnp.asarray(idx),
+        jnp.asarray(buf.inv_scales), 1.0)
     fn = make_sharded_gather_epoch(m2.cfg, m2.tx, mesh)
     p2_, bs2, o2, met2 = fn(
         m2.params, m2.batch_stats, m2.opt_state,
-        mirror.states, mirror.pis, mirror.zs, jnp.asarray(idx))
+        mirror.states, mirror.pis, mirror.zs, jnp.asarray(idx),
+        mirror.inv_scales)
 
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(

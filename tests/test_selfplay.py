@@ -112,6 +112,57 @@ def test_sample_actions_semantics():
     assert counts[0] == 0 and counts[1] > counts[3]
 
 
+def test_buffer_uint8_roundtrip_is_exact(tmp_path):
+    """The ring's uint8-with-per-channel-scale storage must be BIT-exact
+    for every value a game encoder emits: binary planes (scale 1) and
+    the Pente k/5 capture planes (scale 5, since k * f32(0.2) ==
+    f32(k/5) for all k <= 5 — the multiply decode is exact, where a
+    divide decode would not be reproducible on-device)."""
+    from alphazero_gomoku_tpu.selfplay.buffer import (
+        decode_states_f32, encode_states_u8, inv_scales_f32)
+
+    # f32(k/5) exactly equals k * f32(0.2) — the decode identity
+    for k in range(6):
+        assert np.float32(k) * np.float32(0.2) == np.float32(k) / np.float32(5)
+
+    vals = np.array([0.0, 1.0] + [k / 5.0 for k in range(1, 5)],
+                    np.float32)
+    n = len(vals)
+    scales = (5.0, 5.0, 5.0)   # scale 5 covers {0, 1, k/5} exactly
+    states = np.broadcast_to(
+        vals.reshape(n, 1, 1, 1), (n, SIZE, SIZE, 3)).astype(np.float32)
+    np.testing.assert_array_equal(
+        decode_states_f32(encode_states_u8(states, scales),
+                          inv_scales_f32(scales, 3)), states)
+    # binary planes under the default scale-1 contract
+    binary = (states >= 0.5).astype(np.float32)
+    np.testing.assert_array_equal(
+        decode_states_f32(encode_states_u8(binary, None),
+                          inv_scales_f32(None, 3)), binary)
+
+    # through the buffer + persistence too (save now stores uint8)
+    buf = ReplayBuffer(capacity=n, board_size=SIZE, channel_scales=scales)
+    buf.add(states, np.full((n, A), 1.0 / A, np.float32),
+            np.zeros(n, np.float32))
+    s, _, _ = buf.sample(n, np.random.default_rng(0))
+    assert s.dtype == np.float32
+    assert set(np.unique(s)) <= set(np.unique(vals))
+    path = str(tmp_path / "u8.npz")
+    assert save_replay_buffer(buf, path)
+    # the file carries the scales: loader needs no hint
+    loaded = load_replay_buffer(path, capacity=n, board_size=SIZE)
+    np.testing.assert_array_equal(loaded.states, buf.states)
+    np.testing.assert_array_equal(loaded.channel_scales, scales)
+    # old-format f32 buffers still load; the CALLER's scales apply
+    np.savez_compressed(
+        str(tmp_path / "old.npz"), states=states,
+        pis=np.full((n, A), 1.0 / A, np.float32),
+        zs=np.zeros(n, np.float32), capacity=np.int64(n))
+    old = load_replay_buffer(str(tmp_path / "old.npz"), capacity=n,
+                             board_size=SIZE, channel_scales=scales)
+    np.testing.assert_array_equal(old.states, buf.states)
+
+
 def test_replay_buffer_ring_and_persistence(tmp_path):
     buf = ReplayBuffer(capacity=10, board_size=SIZE)
     mk = lambda n, tag: (
