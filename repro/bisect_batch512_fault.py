@@ -128,15 +128,16 @@ print(json.dumps({"probe": "kernels", "batch": b, "sims": sims,
 """
 
 GRID = [
-    # (probe, argv, extra_env) — cheapest-information-first
-    ("selfplay", ["320", "400", "48", "f32"], {}),
+    # (probe, argv, extra_env) — cheapest-information-first.
+    # Batches must be multiples of the 128 lane tile (the tree kernels'
+    # grid constraint); AZG_LANE_TILE=256 dies at the scoped-VMEM compile
+    # limit and =64 violates the output BlockSpec lane tiling, so the
+    # tile axis is NOT probeable this way (session-6 run).
+    ("kernels", ["512", "400", "408"], {}),      # kernels alone at the
+    ("selfplay", ["512", "192", "48", "f32"], {}),   # crash point's axes
     ("selfplay", ["384", "400", "48", "f32"], {}),
-    ("selfplay", ["448", "400", "48", "f32"], {}),
-    ("selfplay", ["512", "400", "48", "f32"], {"AZG_LANE_TILE": "256"}),
-    ("selfplay", ["512", "400", "48", "f32"], {"AZG_LANE_TILE": "64"}),
-    ("selfplay", ["512", "192", "48", "f32"], {}),
-    ("kernels", ["512", "400", "408"], {}),
-    ("kernels", ["512", "192", "200"], {}),
+    ("selfplay", ["512", "400", "48", "f32"], {}),   # THE failing config
+    ("selfplay", ["512", "400", "48", "int8"], {}),
 ]
 
 

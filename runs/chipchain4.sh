@@ -11,8 +11,12 @@ export PYTHONPATH=/root/repo:$PYTHONPATH
 export JAX_COMPILATION_CACHE_DIR=/root/jax_cache
 DEADLINE=${1:?usage: chipchain4.sh <deadline_epoch_s>}
 
-# wait for chain3 to release the chip
-while ! grep -q "chain3 done" runs/chipchain3.log 2>/dev/null; do
+# wait for chain3 (the run-14 stopper + harvester) to EXIT — waiting on
+# a log line re-matched a previous harvest's line and triple-launched
+# run-15 while run-14 still owned the chip (session-6 incident); the
+# runner pid cannot be stale the same way
+CHAIN3_PID=$(cat /tmp/chain7.pid 2>/dev/null)
+while [ -n "$CHAIN3_PID" ] && kill -0 "$CHAIN3_PID" 2>/dev/null; do
   [ "$(date +%s)" -ge "$DEADLINE" ] && exit 0
   sleep 30
 done
