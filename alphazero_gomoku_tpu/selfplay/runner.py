@@ -376,11 +376,15 @@ def collect_examples(
     mask = active.reshape(-1)
     caps = None
     if capture_planes:
-        caps = np.asarray(traj.captures).reshape(-1, 2)
+        caps = np.asarray(traj.captures).reshape(-1, 2)[mask]
+    # mask BEFORE encoding: lockstep trajectories are mostly padding
+    # (torch-style [T=board^2, B] rows vs ~20-30 real plies per game), so
+    # encoding first built float planes for ~10x more records than kept
     states = encode_board_np(
-        boards.reshape(-1, *boards.shape[2:]), players.reshape(-1),
+        boards.reshape(-1, *boards.shape[2:])[mask],
+        players.reshape(-1)[mask],
         captures=caps,
-    )[mask]
+    )
     flat_pis = pis.reshape(-1, pis.shape[-1])[mask].astype(np.float32)
     flat_z = z.reshape(-1)[mask]
 
@@ -556,11 +560,14 @@ def collect_examples_continuous(
     mask = (has_end & np.asarray(rec.recorded)).reshape(-1)
     caps = None
     if capture_planes:
-        caps = np.asarray(rec.captures).reshape(-1, 2)
+        caps = np.asarray(rec.captures).reshape(-1, 2)[mask]
+    # mask before encoding (see collect_examples): only unfinished-tail
+    # and opening plies drop here, but the encode is the expensive step
     states = encode_board_np(
-        boards.reshape(-1, *boards.shape[2:]), players.reshape(-1),
+        boards.reshape(-1, *boards.shape[2:])[mask],
+        players.reshape(-1)[mask],
         captures=caps,
-    )[mask]
+    )
     flat_pis = pis.reshape(-1, pis.shape[-1])[mask].astype(np.float32)
     flat_z = z.reshape(-1)[mask]
 
