@@ -50,12 +50,12 @@ GROUP = 8  # f32 sublane tile: DMA slices must move whole 8-row groups
 
 # lanes processed per grid step: the kernels' VMEM scratch is
 # [tile, GROUP, row] (~4.7 MB at 128 lanes x the production row width)
-# and the scoped VMEM limit is 16 MB — larger game batches run as a
-# sequential lane-tile grid (lanes are independent; results are
-# identical).  Grid steps serialize, so a bigger tile = more concurrent
-# group DMAs per hop; at the production row (1152 f32) a 256-lane tile
-# is 9.4 MB and still fits, halving the select/backup hop count at game
-# batch 256.  Overridable via AZG_LANE_TILE for envelope probes.
+# — larger game batches run as a sequential lane-tile grid (lanes are
+# independent; results are identical).  Grid steps serialize, so a
+# bigger tile = more concurrent group DMAs per hop and fewer serialized
+# walks; the kernels request a scoped-VMEM budget sized to the tile
+# (:func:`_vmem_limit` — the former 16 MiB default was what capped the
+# tile at 128).  Overridable via AZG_LANE_TILE for envelope probes.
 LANE_TILE = int(os.environ.get("AZG_LANE_TILE", "128"))
 
 
@@ -71,6 +71,21 @@ def _lane_tiling(b: int):
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _vmem_limit(tile: int, row: int) -> int:
+    """Scoped-VMEM budget for a lane tile: scratch + body temporaries.
+
+    Mosaic's default scoped limit is 16 MiB — an occupancy heuristic for
+    kernels that share the core.  These walk kernels run alone between
+    network forwards, and a v5e core has 128 MiB of physical VMEM, so
+    trading occupancy for wider lane tiles (fewer serialized grid steps,
+    more concurrent row-group DMAs per hop) is free.  Budget = the
+    [tile, GROUP, row] f32 scratch + 1.5x headroom for the hop body's
+    [tile, row]-sized temporaries, capped well under the physical limit.
+    """
+    scratch = tile * GROUP * row * 4
+    return min(int(scratch * 2.5) + 16 * 1024 * 1024, 112 * 1024 * 1024)
 
 
 class PackedLayout(NamedTuple):
@@ -98,10 +113,23 @@ def packed_layout(num_actions: int, n_nodes: int) -> PackedLayout:
 
 
 def _select_group_row(group_rows, sub_idx, b):
-    """[B, 8, R] group + [B, 1] sub-row index -> [B, R] selected rows."""
-    iota_g = jax.lax.broadcasted_iota(jnp.int32, (b, GROUP), 1)
-    mask = (iota_g == sub_idx).astype(group_rows.dtype)
-    return jnp.sum(group_rows * mask[:, :, None], axis=1)
+    """[B, 8, R] group + [B, 1] sub-row index -> [B, R] selected rows.
+
+    Accumulated one static sub-row at a time: the one-shot broadcast form
+    (``group_rows * mask[:, :, None]`` then reduce) materializes a full
+    [B, GROUP, R] temporary NEXT TO the [B, GROUP, R] scratch it reads,
+    doubling the kernel's peak VMEM and capping the lane tile at 128 at
+    the production row width (the 16.39 MiB compile failure in the
+    ROADMAP lane-tile note).  The unrolled masked sum keeps the peak
+    temporary at [B, R] and computes the same value (each output element
+    is its selected row plus GROUP-1 exact zeros)."""
+    del b  # shape is carried by group_rows
+    out = None
+    for k in range(GROUP):
+        mk = (sub_idx == k).astype(group_rows.dtype)      # [B, 1]
+        term = group_rows[:, k, :] * mk
+        out = term if out is None else out + term
+    return out
 
 
 # ----------------------------------------------------------------------
@@ -275,6 +303,8 @@ def select_walk(packed: jax.Array, layout: PackedLayout, cpuct: float,
             pltpu.VMEM((tile, 1), jnp.int32),
             pltpu.SemaphoreType.DMA((tile,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(tile, layout.row)),
         interpret=interpret,
     )(packed)
     leaf, action, pnodes, pacts, plen = out
@@ -475,6 +505,8 @@ def gumbel_select_walk(packed: jax.Array, root_actions: jax.Array,
             pltpu.VMEM((tile, 1), jnp.int32),
             pltpu.SemaphoreType.DMA((tile,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(tile, layout.row)),
         interpret=interpret,
     )(packed, root_actions.reshape(b, 1).astype(jnp.int32))
     leaf, action, pnodes, pacts, plen = out
@@ -726,7 +758,9 @@ def backup_paths(packed: jax.Array, path_nodes: jax.Array,
             pltpu.SemaphoreType.DMA((tile,)),
         ],
         input_output_aliases={0: 0},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=_vmem_limit(tile, layout.row)),
         interpret=interpret,
     )(packed, path_nodes, path_actions,
       path_len.reshape(b, 1).astype(jnp.int32),
