@@ -36,6 +36,32 @@ import numpy as np
 ScaleLike = Union[Sequence[float], np.ndarray, None]
 
 
+_SCATTER_RINGS = None
+
+
+def _scatter_rings(states_ring, pis_ring, zs_ring, pos, s_new, p_new,
+                   z_new):
+    """One jitted donate-in-place scatter over all three ring arrays.
+
+    Module-level so every :class:`DeviceBufferMirror` shares one compile
+    cache (keyed by bucket shape); jax is imported lazily to keep the
+    host-only buffer path import-light."""
+    global _SCATTER_RINGS
+    if _SCATTER_RINGS is None:
+        import functools
+
+        import jax
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def scatter(sr, pr, zr, pos, s, p, z):
+            return (sr.at[pos].set(s), pr.at[pos].set(p),
+                    zr.at[pos].set(z))
+
+        _SCATTER_RINGS = scatter
+    return _SCATTER_RINGS(states_ring, pis_ring, zs_ring, pos, s_new,
+                          p_new, z_new)
+
+
 def _scales_array(channel_scales: ScaleLike, channels: int) -> np.ndarray:
     if channel_scales is None:
         return np.ones((channels,), np.float32)
@@ -248,19 +274,36 @@ class DeviceBufferMirror:
 
     def sync(self, states: np.ndarray, pis: np.ndarray, zs: np.ndarray,
              positions: np.ndarray) -> None:
-        """Write this iteration's new samples at their ring positions."""
-        if len(positions) == 0:
+        """Write this iteration's new samples at their ring positions.
+
+        One host->device shipment + ONE jitted scatter call: the previous
+        eager form (per-array ``device_put`` + three ``.at[].set``) was
+        ~7 dispatches, and over the ~1 s/dispatch axon tunnel the buffer
+        phase (7.3 s) had overtaken self-play itself (3.8 s) at gumbel
+        speeds.  The sample count varies per iteration, so inputs are
+        padded to a power-of-two bucket with duplicate writes of row 0
+        (same value at the same position — scatter order is immaterial)
+        to keep one compiled program per bucket instead of one per shape.
+        """
+        n = len(positions)
+        if n == 0:
             return
         import jax
-        import jax.numpy as jnp
 
-        def put(x, dtype=None):
-            arr = jnp.asarray(x, dtype)
-            return jax.device_put(arr, self.sharding) \
-                if self.sharding is not None else arr
+        bucket = max(4096, 1 << (n - 1).bit_length())
+        pad = bucket - n
 
-        pos = put(positions)
-        self.states = self.states.at[pos].set(
-            put(encode_states_u8(np.asarray(states), self.channel_scales)))
-        self.pis = self.pis.at[pos].set(put(pis))
-        self.zs = self.zs.at[pos].set(put(zs, self.zs.dtype))
+        def padded(x, dtype):
+            arr = np.asarray(x, dtype)
+            if pad == 0:
+                return arr
+            return np.concatenate(
+                [arr, np.broadcast_to(arr[:1], (pad,) + arr.shape[1:])])
+
+        enc = encode_states_u8(np.asarray(states), self.channel_scales)
+        host = (padded(positions, np.int32), padded(enc, np.uint8),
+                padded(pis, np.float32), padded(zs, self.zs.dtype))
+        dev = jax.device_put(host, self.sharding) \
+            if self.sharding is not None else jax.device_put(host)
+        self.states, self.pis, self.zs = _scatter_rings(
+            self.states, self.pis, self.zs, *dev)
