@@ -23,7 +23,11 @@ _MAGIC = b"AZTPU1\n"
 
 
 def _to_numpy(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    # jax.device_get first: ONE batched device->host transfer for the
+    # whole pytree instead of one per-leaf fetch (60+ round-trips over
+    # the ~1 s-latency axon tunnel for the 6x128 net); the tree_map then
+    # only normalizes non-array leaves.
+    return jax.tree_util.tree_map(np.asarray, jax.device_get(tree))
 
 
 def save_checkpoint(path: str, tree: Any, metadata: Dict[str, Any]) -> None:
