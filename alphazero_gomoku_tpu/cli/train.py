@@ -33,6 +33,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "iterations (skipped iterations keep training; "
                          "see train_alphazero)")
     ap.add_argument("--win-rate-threshold", type=float, default=0.5)
+    ap.add_argument("--gate-stat", default="ci_low",
+                    choices=["ci_low", "win_rate"],
+                    help="gate statistic: 'ci_low' promotes only when "
+                         "the Wilson 95%% lower bound clears the "
+                         "threshold (and resets only when the upper "
+                         "bound falls below it); 'win_rate' is the "
+                         "reference point-estimate gate")
     ap.add_argument("--dirichlet-alpha", type=float, default=0.05)
     ap.add_argument("--dirichlet-epsilon", type=float, default=0.15)
     ap.add_argument("--dirichlet-n-moves", type=int, default=10)
@@ -177,6 +184,7 @@ def main(argv=None):
         eval_mcts_simulations=args.eval_mcts_simulations,
         eval_every=args.eval_every,
         win_rate_threshold=args.win_rate_threshold,
+        gate_stat=args.gate_stat,
         cpuct=args.cpuct,
         model_dir=args.model_dir,
         save_every=args.save_every,

@@ -79,10 +79,14 @@ def _vmem_limit(tile: int, row: int) -> int:
     Mosaic's default scoped limit is 16 MiB — an occupancy heuristic for
     kernels that share the core.  These walk kernels run alone between
     network forwards, and a v5e core has 128 MiB of physical VMEM, so
-    trading occupancy for wider lane tiles (fewer serialized grid steps,
-    more concurrent row-group DMAs per hop) is free.  Budget = the
-    [tile, GROUP, row] f32 scratch + 1.5x headroom for the hop body's
-    [tile, row]-sized temporaries, capped well under the physical limit.
+    widening the budget lets larger lane tiles COMPILE.  Measured result
+    (runs/tileprobe.log, round 2): tiles > 128 compile post-fix but buy
+    no speed — 256 was ~1-2% SLOWER than 128 on both headline configs
+    (and two 256-tile probes failed outright), so 128 stays the shipped
+    default; the useful lever is DMA/compute overlap within a tile, not
+    tile width.  Budget = the [tile, GROUP, row] f32 scratch + 1.5x
+    headroom for the hop body's [tile, row]-sized temporaries, capped
+    well under the physical limit.
     """
     scratch = tile * GROUP * row * 4
     return min(int(scratch * 2.5) + 16 * 1024 * 1024, 112 * 1024 * 1024)

@@ -284,6 +284,14 @@ class DeviceBufferMirror:
         padded to a power-of-two bucket with duplicate writes of row 0
         (same value at the same position — scatter order is immaterial)
         to keep one compiled program per bucket instead of one per shape.
+
+        The 4096 floor pins the common case to ONE compiled bucket: a
+        production iteration lands 1-3k samples (e.g. 128 games x ~20
+        recorded plies x 8 symmetries / PCR thinning), which would
+        otherwise bounce between 1024/2048/4096 buckets and recompile
+        the scatter for each.  The padding cost is ~5.5 MB on the link
+        per call — noise next to the shipment itself — and tiny-config
+        runs (tests, CPU smoke) compile once and stay cheap.
         """
         n = len(positions)
         if n == 0:

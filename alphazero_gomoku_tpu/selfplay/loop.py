@@ -146,6 +146,21 @@ def train_alphazero(
     # mode: no arena, no reset) and record win_rate=None in the history.
     eval_every: int = 1,
     win_rate_threshold: float = 0.55,
+    # gate statistic (round-3: the fixed-n point-estimate gate was
+    # statistically meaningless at arena sizes — 9/16 "passes" a 0.55
+    # threshold with a CI of [0.33, 0.78]):
+    #   "ci_low" (default): promote only when the Wilson 95% LOWER bound
+    #     of the mirrored-pair arena clears the threshold — a promotion
+    #     is a statistically supported claim, not a coin flip.  In
+    #     gate_mode="reset" the candidate is only reset when the UPPER
+    #     bound falls below the threshold (statistically worse);
+    #     inconclusive arenas keep the candidate training un-reset, so
+    #     reset mode no longer discards progress on arena noise.
+    #   "win_rate": reference parity (train.py:813-827) — point estimate
+    #     vs threshold, reset on any miss.
+    # With "ci_low" size the arena for the decision: 32+ games (CI-low
+    # > 0.5 needs ~0.66 observed at 32, ~0.625 at 64).
+    gate_stat: str = "ci_low",
     cpuct: float = 1.2,
     model_dir: str = "models",
     save_every: int = 1,
@@ -262,6 +277,8 @@ def train_alphazero(
 
     if gate_mode not in ("reset", "track"):
         raise ValueError(f"unknown gate_mode: {gate_mode!r}")
+    if gate_stat not in ("win_rate", "ci_low"):
+        raise ValueError(f"unknown gate_stat: {gate_stat!r}")
     if pente_capture_planes and game_name != "pente":
         # make_env ignores the flag for other games but collect_examples
         # would still build 5-channel states, surfacing later as an opaque
@@ -730,15 +747,24 @@ def train_alphazero(
                     log(f"anchor arena failed: {e}")
 
         # ---- phase 4: gate (skipped along with the arena) --------------
-        accepted = run_arena and win_rate >= win_rate_threshold
+        if gate_stat == "ci_low":
+            accepted = run_arena and ci_lo >= win_rate_threshold
+            # reset only on statistically-supported inferiority
+            reset_worthy = run_arena and ci_hi < win_rate_threshold
+        else:  # "win_rate": reference point-estimate parity
+            accepted = run_arena and win_rate >= win_rate_threshold
+            reset_worthy = run_arena and not accepted
         if not run_arena:
             pass  # no arena this iteration: best unchanged, no reset
         elif accepted:
-            log(" candidate ACCEPTED -> promoted to best")
+            log(f" candidate ACCEPTED ({gate_stat}) -> promoted to best")
             model_best.copy_weights_from(model_candidate)
-        elif gate_mode == "reset":
+        elif gate_mode == "reset" and reset_worthy:
             log(" candidate rejected -> restored from best")
             model_candidate.copy_weights_from(model_best)
+        elif gate_mode == "reset":  # ci_low inconclusive: no reset
+            log(" arena inconclusive (CI straddles threshold) -> "
+                "candidate keeps training, best unchanged")
         else:  # "track": best stays put; candidate trains on
             log(" candidate rejected -> best unchanged (track mode)")
 

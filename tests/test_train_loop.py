@@ -353,3 +353,63 @@ def test_train_loop_gumbel_search(tmp_path):
     assert hist[0]["moves"] > 0
     assert hist[0]["buffer_size"] > 0
     assert np.isfinite(hist[0]["loss"]["total_loss"])
+
+
+def test_gate_stat_ci_low_semantics(tmp_path):
+    """gate_stat='ci_low' (default): promotion needs the Wilson lower
+    bound above the threshold, and reset mode only resets on a CI fully
+    BELOW the threshold — an inconclusive 2-game arena neither promotes
+    nor discards the candidate's training progress."""
+    import jax.numpy as jnp
+
+    common = dict(
+        game_name="gomoku", board_size=SIZE, num_iterations=1,
+        games_per_iteration=2, n_simulations=8, buffer_size=512,
+        batch_size=16, epochs_per_iter=1, temp_threshold=4,
+        eval_games=2, eval_mcts_simulations=8,
+        n_res_blocks=1, channels=8, seed=9, verbose=False, mesh=None,
+    )
+
+    def max_param_diff(path_a, path_b):
+        a = AZModel(board_size=SIZE, n_res_blocks=1, channels=8)
+        a.load(path_a)
+        b = AZModel(board_size=SIZE, n_res_blocks=1, channels=8)
+        b.load(path_b)
+        return max(
+            float(jnp.max(jnp.abs(x - y)))
+            for x, y in zip(jax.tree_util.tree_leaves(a.params),
+                            jax.tree_util.tree_leaves(b.params))
+        )
+
+    # inconclusive at n=2 (Wilson CI spans any mid threshold): the
+    # candidate must NOT be promoted, and must NOT be reset either —
+    # its snapshot (the candidate) differs from best (the start net)
+    d = str(tmp_path / "inconclusive")
+    hist = train_alphazero(gate_mode="reset", gate_stat="ci_low",
+                           win_rate_threshold=0.55, model_dir=d, **common)
+    assert hist[0]["accepted"] is False
+    lo, hi = hist[0]["win_rate_ci95"]
+    assert lo < 0.55 < hi  # genuinely inconclusive at n=2
+    assert max_param_diff(
+        hist[0]["snapshot"], os.path.join(d, "best_latest.ckpt")) > 0
+
+    # threshold 0.0: ci_low >= 0 always -> promoted; best tracks candidate
+    d = str(tmp_path / "promote")
+    hist = train_alphazero(gate_mode="reset", gate_stat="ci_low",
+                           win_rate_threshold=0.0, model_dir=d, **common)
+    assert hist[0]["accepted"] is True
+    assert max_param_diff(
+        hist[0]["snapshot"], os.path.join(d, "best_latest.ckpt")) == 0
+
+    # reference parity lane: point estimate vs impossible threshold ->
+    # reset on every miss (snapshot == best == start weights)
+    d = str(tmp_path / "parity")
+    hist = train_alphazero(gate_mode="reset", gate_stat="win_rate",
+                           win_rate_threshold=2.0, model_dir=d, **common)
+    assert hist[0]["accepted"] is False
+    assert max_param_diff(
+        hist[0]["snapshot"], os.path.join(d, "best_latest.ckpt")) == 0
+
+    with pytest.raises(ValueError, match="gate_stat"):
+        train_alphazero(gate_stat="bogus", model_dir=str(tmp_path / "x"),
+                        **common)
