@@ -116,6 +116,27 @@ def packed_layout(num_actions: int, n_nodes: int) -> PackedLayout:
     )
 
 
+def _group_base(node, node_max):
+    """Clamped 8-row group base for a node-index DMA.
+
+    Every HBM row-group DMA in these kernels addresses
+    ``packed[lane, g:g+GROUP, :]`` with ``g`` derived from tree data
+    (child indices stored as f32).  An out-of-range index here is not an
+    XLA gather (which clamps) but a raw DMA descriptor — it hard-faults
+    the TPU worker process.  Clamping the NODE to ``[0, n_nodes - 1]``
+    makes corrupt tree data (whatever its source) produce a
+    wrong-but-bounded read/write instead of killing the worker; correct
+    indices are unaffected.  Order matters: the clamp must happen BEFORE
+    the ``// GROUP * GROUP`` rounding — Mosaic proves the memref-slice
+    index divisible by the sublane tile (8) from that closing multiply,
+    and a ``min``/``max`` applied after it breaks the proof (compile
+    error "tile index ... divisible by the tiling (8)").  Added while
+    chasing the batch-512 f32 fault (repro/bisect_batch512_fault.py).
+    """
+    node_c = jnp.minimum(jnp.maximum(node, 0), node_max)
+    return (node_c // GROUP) * GROUP
+
+
 def _select_group_row(group_rows, sub_idx, b):
     """[B, 8, R] group + [B, 1] sub-row index -> [B, R] selected rows.
 
@@ -158,10 +179,11 @@ def _select_kernel(layout: PackedLayout, cpuct: float, depth_limit: int,
     pacts_ref[:] = jnp.zeros_like(pacts_ref)
 
     lane0 = pl.program_id(0) * b  # absolute lane of this tile's first row
+    n_max = layout.n_nodes - 1  # DMA guard: see _group_base
 
     def fetch_groups():
         def start(i, _):
-            g = (nodes_vmem[i, 0] // GROUP) * GROUP
+            g = _group_base(nodes_vmem[i, 0], n_max)
             pltpu.make_async_copy(
                 packed_hbm.at[lane0 + i, pl.ds(g, GROUP), :],
                 rows_vmem.at[i], sems.at[i],
@@ -170,7 +192,7 @@ def _select_kernel(layout: PackedLayout, cpuct: float, depth_limit: int,
         jax.lax.fori_loop(0, b, start, 0)
 
         def wait(i, _):
-            g = (nodes_vmem[i, 0] // GROUP) * GROUP
+            g = _group_base(nodes_vmem[i, 0], n_max)
             pltpu.make_async_copy(
                 packed_hbm.at[lane0 + i, pl.ds(g, GROUP), :],
                 rows_vmem.at[i], sems.at[i],
@@ -351,10 +373,11 @@ def _gumbel_select_kernel(layout: PackedLayout, depth_limit: int,
     pacts_ref[:] = jnp.zeros_like(pacts_ref)
 
     lane0 = pl.program_id(0) * b
+    n_max = layout.n_nodes - 1
 
     def fetch_groups():
         def start(i, _):
-            g = (nodes_vmem[i, 0] // GROUP) * GROUP
+            g = _group_base(nodes_vmem[i, 0], n_max)
             pltpu.make_async_copy(
                 packed_hbm.at[(lane0 + i) // fan, pl.ds(g, GROUP), :],
                 rows_vmem.at[i], sems.at[i],
@@ -363,7 +386,7 @@ def _gumbel_select_kernel(layout: PackedLayout, depth_limit: int,
         jax.lax.fori_loop(0, b, start, 0)
 
         def wait(i, _):
-            g = (nodes_vmem[i, 0] // GROUP) * GROUP
+            g = _group_base(nodes_vmem[i, 0], n_max)
             pltpu.make_async_copy(
                 packed_hbm.at[(lane0 + i) // fan, pl.ds(g, GROUP), :],
                 rows_vmem.at[i], sems.at[i],
@@ -548,7 +571,8 @@ def _backup_kernel(layout: PackedLayout, mode: str,
     # every node, so only the priors segment and the done flag are
     # written.  Orphan (non-expanding) lanes get the row too, matching
     # the XLA glue's unconditional write — nothing ever links to them.
-    sg = (slot // GROUP) * GROUP
+    n_max = layout.n_nodes - 1
+    sg = _group_base(slot, n_max)
 
     def cstart(k, _):
         pltpu.make_async_copy(
@@ -618,8 +642,7 @@ def _backup_kernel(layout: PackedLayout, mode: str,
         hopnodes_vmem[:] = jnp.maximum(hop_nodes, 0)
 
         def start(k, _):
-            nk = hopnodes_vmem[k, 0]
-            g = (nk // GROUP) * GROUP
+            g = _group_base(hopnodes_vmem[k, 0], n_max)
             pltpu.make_async_copy(
                 packed_out.at[lane0 + k, pl.ds(g, GROUP), :], rows_vmem.at[k],
                 sems.at[k],
@@ -628,8 +651,7 @@ def _backup_kernel(layout: PackedLayout, mode: str,
         jax.lax.fori_loop(0, b, start, 0)
 
         def wait(k, _):
-            nk = hopnodes_vmem[k, 0]
-            g = (nk // GROUP) * GROUP
+            g = _group_base(hopnodes_vmem[k, 0], n_max)
             pltpu.make_async_copy(
                 packed_out.at[lane0 + k, pl.ds(g, GROUP), :], rows_vmem.at[k],
                 sems.at[k],
@@ -676,8 +698,7 @@ def _backup_kernel(layout: PackedLayout, mode: str,
         )
 
         def wstart(k, _):
-            nk = hopnodes_vmem[k, 0]
-            g = (nk // GROUP) * GROUP
+            g = _group_base(hopnodes_vmem[k, 0], n_max)
             pltpu.make_async_copy(
                 rows_vmem.at[k], packed_out.at[lane0 + k, pl.ds(g, GROUP), :],
                 sems.at[k],
@@ -686,8 +707,7 @@ def _backup_kernel(layout: PackedLayout, mode: str,
         jax.lax.fori_loop(0, b, wstart, 0)
 
         def wwait(k, _):
-            nk = hopnodes_vmem[k, 0]
-            g = (nk // GROUP) * GROUP
+            g = _group_base(hopnodes_vmem[k, 0], n_max)
             pltpu.make_async_copy(
                 rows_vmem.at[k], packed_out.at[lane0 + k, pl.ds(g, GROUP), :],
                 sems.at[k],

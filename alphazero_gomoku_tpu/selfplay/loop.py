@@ -481,19 +481,21 @@ def train_alphazero(
             selfplay_jit = make_sharded_selfplay_continuous(
                 env, sp_cfg, eval_fn, mesh, total_steps=steps)
         else:
-            selfplay_jit = jax.jit(functools.partial(
+            from alphazero_gomoku_tpu.selfplay.budget import with_preflight
+            selfplay_jit = with_preflight(jax.jit(functools.partial(
                 play_games_continuous, env, sp_cfg, eval_fn,
                 total_steps=steps,
-            ))
+            )), label="continuous self-play")
         collect = collect_examples_continuous
     elif selfplay_mode == "lockstep":
         if mesh is not None:
             from alphazero_gomoku_tpu.parallel import make_sharded_selfplay
             selfplay_jit = make_sharded_selfplay(env, sp_cfg, eval_fn, mesh)
         else:
-            selfplay_jit = jax.jit(
+            from alphazero_gomoku_tpu.selfplay.budget import with_preflight
+            selfplay_jit = with_preflight(jax.jit(
                 functools.partial(play_games, env, sp_cfg, eval_fn)
-            )
+            ), label="lockstep self-play")
         collect = collect_examples
     else:
         raise ValueError(f"unknown selfplay_mode: {selfplay_mode!r}")

@@ -130,6 +130,12 @@ def run_bench(batch_games: int = 256, n_simulations: int = 400,
 
     meas_cfg = dataclasses.replace(cfg, max_moves=measure_moves)
     meas = jax.jit(functools.partial(play_games, env, meas_cfg, eval_fn))
+    # pre-flight: a config whose XLA peak exceeds HBM raises a clear error
+    # here instead of hard-faulting the TPU worker mid-measurement
+    from alphazero_gomoku_tpu.selfplay.budget import preflight_memory_check
+    preflight_memory_check(meas, bundle, jax.random.PRNGKey(2),
+                           label=f"bench selfplay batch={batch_games} "
+                                 f"sims={n_simulations} infer={infer}")
     load, load_wait = _quiesce()
     # warm up with a TRUE sync: fetch a result value. (block_until_ready is
     # not a real barrier on tunneled devices; timing after it would include

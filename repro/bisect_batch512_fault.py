@@ -6,11 +6,28 @@ Known envelope (ROADMAP #3, DECISIONS round-2):
   CRASH: 512 x 400, 48-move probe, f32 AND int8 (hard worker fault)
   CRASH: 1024 x 400 f32 (round-2, pre-int8)
 
-Crash is precision-independent, so the NN forward is an unlikely cause
-(net_microbench runs leaf batch 512 standalone fine); the suspects are
-the lane-tiled tree kernels (batch 512 = 4 sequential 128-lane grid
-steps vs 2 at 256) and whole-program HBM pressure (the packed tree alone
-is ~963 MB at 512x408x1152 f32).  This script walks the axes one at a
+Round-2 bisect verdict (runs/bisect512.log, bisect512_contended.log):
+the crash is f32-selfplay-512x400 SPECIFIC — int8 512x400 passes,
+f32 512x192 passes, kernels-only 512x400 passes, f32 384x400 passes.
+
+Round-3 verdict: two hypotheses TESTED and REFUTED.
+  1. HBM pressure: XLA's own ``memory_analysis`` on the AOT-compiled
+     program reports peak 2.81 GB (f32) / 2.80 GB (int8) at 512x400
+     against 16 GB of HBM — allocation size is ruled out (and the twin
+     peaks cannot explain the f32/int8 split).  The useful residue is
+     ``selfplay/budget.py``: every big jitted program is now
+     pre-flight-checked so a config that GENUINELY exceeds HBM raises
+     a host-side error instead of faulting the worker.
+  2. Unclamped node-index DMA: every row-group DMA in
+     ``ops/tree_kernels.py`` now clamps its node index to
+     [0, n_nodes-1] before the GROUP rounding (``_group_base``) — the
+     fault still reproduces with all sites guarded, so it is not a
+     wild DMA from corrupt tree data (or the corruption lands
+     in-range).  The clamp stays as defense in depth.
+
+Remaining axes to walk (see __main__ grid): backend=xla at 512x400 f32
+(kernels vs glue+NN), bf16 inference (precision midpoint), node
+capacity between 192 and 400.  This script walks the axes one at a
 time in subprocesses (a worker crash kills only that probe):
 
   - batch between 256 and 512 (320/384/448): where exactly is the edge?

@@ -32,6 +32,9 @@ def main(argv=None):
     ap.add_argument("--size", type=int, default=15)
     ap.add_argument("--backend", default="pallas",
                     choices=["xla", "pallas"])
+    ap.add_argument("--search", default="puct", choices=["puct", "gumbel"],
+                    help="arena search mode for BOTH sides (gumbel uses "
+                         "sequential halving at --sims with m=16)")
     ap.add_argument("--max-depth", type=int, default=56)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
@@ -49,12 +52,15 @@ def main(argv=None):
     if ma.cfg != mb.cfg:
         raise SystemExit(f"architecture mismatch: {ma.cfg} vs {mb.cfg}")
     cfg = MCTSConfig(n_simulations=args.sims, cpuct=1.0, add_noise=False,
-                     max_depth=args.max_depth, backend=args.backend)
+                     max_depth=args.max_depth, backend=args.backend,
+                     search=args.search,
+                     gumbel_round_parallel=args.search == "gumbel")
     r = evaluate_params_detailed(
         env, cfg, make_eval_fn(ma.cfg), bundle_of(ma), bundle_of(mb),
         args.games, jax.random.PRNGKey(args.seed))
     print(json.dumps({
         "a": args.ckpt_a, "b": args.ckpt_b, "sims": args.sims,
+        "search": args.search,
         "a_wins": r["wins"], "played": r["played"], "draws": r["draws"],
         "a_win_rate": round(r["win_rate"], 4),
         "ci95": [round(x, 4) for x in r["ci95"]],
