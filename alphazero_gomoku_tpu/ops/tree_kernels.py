@@ -5,26 +5,39 @@ Round-1 profiling put ~63% of self-play move time in the tree phases of
 walk's per-lane scatter-adds, which XLA lowers to serialized dynamic-slice
 loops with heavy per-op overhead (and which hard-fault the TPU worker
 outright at larger ``games x sims`` products — see ROADMAP.md).  These
-kernels replace that lowering with explicit row DMAs:
+kernels replace that lowering with explicit row DMAs.
 
-  - Tree node data is packed into ONE f32 row per node
-    (:func:`packed_layout`): visit counts N, total values W, signed priors
-    P (illegal = -1), child indices C (-1 = unexpanded, stored exactly as
-    small-int f32), and a done flag — each segment 128-lane aligned.
-  - Mosaic requires memref slices to respect the (8, 128) f32 tiling even
-    in HBM, so rows are moved in ALIGNED GROUPS OF 8: a hop DMAs the
-    8-row group containing the target node ([8, row] ~ 37 KB) and selects
-    the row with an 8-way masked reduction on the VPU.  One DMA per game
-    lane per hop, versus four XLA gathers over [B, n_nodes, A] arrays.
+Node layout (round 3, "node-as-group"):  each tree node owns one ALIGNED
+``[GROUP=8, seg]`` f32 tile of the packed array ``[B, n_nodes * 8, seg]``
+(``seg`` = num_actions rounded up to 128 lanes), with one segment per
+sublane:
+
+  sublane 0  N   per-action visit counts
+  sublane 1  W   per-action total values
+  sublane 2  P   signed priors (illegal = -1; cols >= A padded -1)
+  sublane 3  C   child node indices as small-int f32 (-1 = unexpanded)
+  sublane 4  meta: col 0 = done flag, col 1 = node value estimate (the
+             Gumbel completed-Q mix); other cols unused
+  sublanes 5-7 padding (Mosaic's f32 HBM tiling moves sublanes in
+             groups of 8, so a node cannot occupy fewer than 8)
+
+Compared to the round-1/2 layout (one ``4*seg + 128``-wide row per node,
+DMA'd as the enclosing 8-ROW group and reduced to the target row with an
+8-way masked select), one hop now moves ``8 * seg * 4`` bytes instead of
+``8 * (4*seg + 128) * 4`` — 4.5x less HBM traffic at the production shape
+(8 KB vs 36.9 KB for A=225) — and the masked row-select disappears: the
+DMA'd tile IS the node.  Measured A/B in runs/kernel_ab_r3.log.
+
   - :func:`select_walk` walks all B lanes in lockstep: per hop it issues B
-    concurrent group DMAs (HBM -> VMEM), computes the PUCT argmax
-    vectorized over the [B, row] tile, and advances each lane; lanes stop
-    on a terminal node, an unexpanded edge, or the depth cap, and the
-    walk's (node, action) path is recorded for the backup pass.
-  - :func:`backup_paths` replays each lane's recorded path, read-modify-
-    writing one packed row group per hop per lane (N[a] += 1, W[a] += ±v
-    with the per-hop perspective flip, and C[a] = slot on the expansion
-    edge), again as B concurrent DMAs per hop instead of XLA scatters.
+    concurrent node-tile DMAs (HBM -> VMEM), computes the PUCT argmax
+    vectorized over the [B, seg] segment slices, and advances each lane;
+    lanes stop on a terminal node, an unexpanded edge, or the depth cap,
+    and the walk's (node, action) path is recorded for the backup pass.
+  - :func:`backup_paths` composes the freshly expanded node's tile as a
+    PURE VMEM write (nothing shares the slot's group, so no read-modify
+    cycle), then replays each lane's recorded path, read-modify-writing
+    one node tile per hop per lane (N[a] += 1, W[a] += ±v with the
+    per-hop perspective flip, and C[a] = slot on the expansion edge).
 
 Semantics are bit-compatible with the XLA reference implementation in
 ``search/tree.py`` (same f32 PUCT formula, same first-max argmax
@@ -48,14 +61,18 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9
 GROUP = 8  # f32 sublane tile: DMA slices must move whole 8-row groups
 
+# segment sublane indices within a node tile (see module docstring)
+SL_N, SL_W, SL_P, SL_C, SL_META = 0, 1, 2, 3, 4
+
 # lanes processed per grid step: the kernels' VMEM scratch is
-# [tile, GROUP, row] (~4.7 MB at 128 lanes x the production row width)
+# [tile, GROUP, seg] (~1 MB at 128 lanes x the production seg width)
 # — larger game batches run as a sequential lane-tile grid (lanes are
 # independent; results are identical).  Grid steps serialize, so a
-# bigger tile = more concurrent group DMAs per hop and fewer serialized
+# bigger tile = more concurrent node DMAs per hop and fewer serialized
 # walks; the kernels request a scoped-VMEM budget sized to the tile
-# (:func:`_vmem_limit` — the former 16 MiB default was what capped the
-# tile at 128).  Overridable via AZG_LANE_TILE for envelope probes.
+# (:func:`_vmem_limit`).  Measured (runs/tileprobe.log, round 2, old
+# layout): tiles > 128 compile but buy no speed on v5e, so 128 stays
+# the shipped default.  Overridable via AZG_LANE_TILE for probes.
 LANE_TILE = int(os.environ.get("AZG_LANE_TILE", "128"))
 
 
@@ -73,88 +90,58 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _vmem_limit(tile: int, row: int) -> int:
+def _vmem_limit(tile: int, seg: int) -> int:
     """Scoped-VMEM budget for a lane tile: scratch + body temporaries.
 
     Mosaic's default scoped limit is 16 MiB — an occupancy heuristic for
     kernels that share the core.  These walk kernels run alone between
-    network forwards, and a v5e core has 128 MiB of physical VMEM, so
-    widening the budget lets larger lane tiles COMPILE.  Measured result
-    (runs/tileprobe.log, round 2): tiles > 128 compile post-fix but buy
-    no speed — 256 was ~1-2% SLOWER than 128 on both headline configs
-    (and two 256-tile probes failed outright), so 128 stays the shipped
-    default; the useful lever is DMA/compute overlap within a tile, not
-    tile width.  Budget = the [tile, GROUP, row] f32 scratch + 1.5x
-    headroom for the hop body's [tile, row]-sized temporaries, capped
-    well under the physical limit.
+    network forwards, and a v5e core has 128 MiB of physical VMEM, so the
+    budget is sized to the tile: the [tile, GROUP, seg] f32 scratch plus
+    headroom for the hop body's [tile, GROUP, seg]-shaped temporaries
+    (the backup delta masks), capped well under the physical limit.
     """
-    scratch = tile * GROUP * row * 4
-    return min(int(scratch * 2.5) + 16 * 1024 * 1024, 112 * 1024 * 1024)
+    scratch = tile * GROUP * seg * 4
+    return min(int(scratch * 4) + 16 * 1024 * 1024, 112 * 1024 * 1024)
 
 
 class PackedLayout(NamedTuple):
-    """Segment offsets of one packed node row (all f32, lane-aligned).
+    """Shape constants of the packed node-tile array.
 
-    Row = [ N(0:A) | W(S:S+A) | P(2S:2S+A) | C(3S:3S+A) | done(4S) ] with
-    S = A rounded up to 128 lanes and the row padded to a 128 multiple.
-    ``n_nodes`` is rounded up to the 8-row DMA group.
+    The tree is ``[B, n_nodes * GROUP, seg]`` f32; node ``k`` owns sublane
+    rows ``[k*GROUP, (k+1)*GROUP)`` with the segment map in the module
+    docstring.  ``seg`` is ``num_actions`` rounded up to 128 lanes.
     """
 
     num_actions: int   # A
-    seg: int           # S: segment stride (A rounded to 128)
-    row: int           # R: total row width
-    n_nodes: int       # node capacity, multiple of GROUP
+    seg: int           # S: minor width (A rounded to 128)
+    n_nodes: int       # node capacity (exact; dim 1 is n_nodes * GROUP)
 
 
 def packed_layout(num_actions: int, n_nodes: int) -> PackedLayout:
-    seg = _round_up(num_actions, 128)
     return PackedLayout(
         num_actions=num_actions,
-        seg=seg,
-        row=4 * seg + 128,
-        n_nodes=_round_up(n_nodes, GROUP),
+        seg=_round_up(num_actions, 128),
+        n_nodes=int(n_nodes),
     )
 
 
 def _group_base(node, node_max):
-    """Clamped 8-row group base for a node-index DMA.
+    """Clamped sublane-row base of a node's tile for a DMA.
 
-    Every HBM row-group DMA in these kernels addresses
-    ``packed[lane, g:g+GROUP, :]`` with ``g`` derived from tree data
-    (child indices stored as f32).  An out-of-range index here is not an
-    XLA gather (which clamps) but a raw DMA descriptor — it hard-faults
-    the TPU worker process.  Clamping the NODE to ``[0, n_nodes - 1]``
-    makes corrupt tree data (whatever its source) produce a
-    wrong-but-bounded read/write instead of killing the worker; correct
-    indices are unaffected.  Order matters: the clamp must happen BEFORE
-    the ``// GROUP * GROUP`` rounding — Mosaic proves the memref-slice
-    index divisible by the sublane tile (8) from that closing multiply,
-    and a ``min``/``max`` applied after it breaks the proof (compile
-    error "tile index ... divisible by the tiling (8)").  Added while
-    chasing the batch-512 f32 fault (repro/bisect_batch512_fault.py).
+    Every HBM node DMA in these kernels addresses
+    ``packed[lane, g:g+GROUP, :]`` with ``g = node * GROUP`` derived from
+    tree data (child indices stored as f32).  An out-of-range index here
+    is not an XLA gather (which clamps) but a raw DMA descriptor — it
+    hard-faults the TPU worker process.  Clamping the NODE to
+    ``[0, n_nodes - 1]`` makes corrupt tree data (whatever its source)
+    produce a wrong-but-bounded read/write instead of killing the worker;
+    correct indices are unaffected.  The closing ``* GROUP`` is also what
+    lets Mosaic prove the memref-slice index divisible by the sublane
+    tile (8).  Added while chasing the batch-512 f32 fault
+    (repro/bisect_batch512_fault.py).
     """
     node_c = jnp.minimum(jnp.maximum(node, 0), node_max)
-    return (node_c // GROUP) * GROUP
-
-
-def _select_group_row(group_rows, sub_idx, b):
-    """[B, 8, R] group + [B, 1] sub-row index -> [B, R] selected rows.
-
-    Accumulated one static sub-row at a time: the one-shot broadcast form
-    (``group_rows * mask[:, :, None]`` then reduce) materializes a full
-    [B, GROUP, R] temporary NEXT TO the [B, GROUP, R] scratch it reads,
-    doubling the kernel's peak VMEM and capping the lane tile at 128 at
-    the production row width (the 16.39 MiB compile failure in the
-    ROADMAP lane-tile note).  The unrolled masked sum keeps the peak
-    temporary at [B, R] and computes the same value (each output element
-    is its selected row plus GROUP-1 exact zeros)."""
-    del b  # shape is carried by group_rows
-    out = None
-    for k in range(GROUP):
-        mk = (sub_idx == k).astype(group_rows.dtype)      # [B, 1]
-        term = group_rows[:, k, :] * mk
-        out = term if out is None else out + term
-    return out
+    return node_c * GROUP
 
 
 # ----------------------------------------------------------------------
@@ -166,7 +153,6 @@ def _select_kernel(layout: PackedLayout, cpuct: float, depth_limit: int,
                    leaf_ref, act_ref, pnodes_ref, pacts_ref, plen_ref,
                    rows_vmem, nodes_vmem, stopped_vmem, sems):
     a = layout.num_actions
-    s = layout.seg
     b = rows_vmem.shape[0]
     iota_a = jax.lax.broadcasted_iota(jnp.int32, (b, a), 1)
 
@@ -208,13 +194,13 @@ def _select_kernel(layout: PackedLayout, cpuct: float, depth_limit: int,
         h, _ = carry
         fetch_groups()
         nodes = nodes_vmem[:]
-        rows = _select_group_row(rows_vmem[:], nodes % GROUP, b)
+        tiles = rows_vmem[:]                     # [B, GROUP, seg]
         active = stopped_vmem[:] == 0
 
-        n = rows[:, 0:a]
-        w = rows[:, s:s + a]
-        p = rows[:, 2 * s:2 * s + a]
-        done = rows[:, 4 * s:4 * s + 1] > 0.5
+        n = tiles[:, SL_N, :][:, 0:a]
+        w = tiles[:, SL_W, :][:, 0:a]
+        p = tiles[:, SL_P, :][:, 0:a]
+        done = tiles[:, SL_META, :][:, 0:1] > 0.5
 
         # PUCT, formula-identical to tree._puct_scores (f32 throughout)
         pmax = jnp.maximum(p, 0.0)
@@ -240,7 +226,7 @@ def _select_kernel(layout: PackedLayout, cpuct: float, depth_limit: int,
 
         onehot = iota_a == action
         child = jnp.sum(
-            jnp.where(onehot, rows[:, 3 * s:3 * s + a], 0.0),
+            jnp.where(onehot, tiles[:, SL_C, :][:, 0:a], 0.0),
             axis=1, keepdims=True,
         ).astype(jnp.int32)
 
@@ -288,7 +274,7 @@ def select_walk(packed: jax.Array, layout: PackedLayout, cpuct: float,
     """Lockstep PUCT select over B packed trees.
 
     Args:
-        packed: f32 [B, n_nodes, row] packed node rows (HBM).
+        packed: f32 [B, n_nodes * GROUP, seg] packed node tiles (HBM).
     Returns:
         leaf [B] i32 node each lane stopped on; action [B] i32 (the edge to
         expand, -1 when the lane stopped on a terminal/depth-capped node);
@@ -324,13 +310,13 @@ def select_walk(packed: jax.Array, layout: PackedLayout, cpuct: float,
             jax.ShapeDtypeStruct((b, 1), jnp.int32),   # path len
         ),
         scratch_shapes=[
-            pltpu.VMEM((tile, GROUP, layout.row), jnp.float32),
+            pltpu.VMEM((tile, GROUP, layout.seg), jnp.float32),
             pltpu.VMEM((tile, 1), jnp.int32),
             pltpu.VMEM((tile, 1), jnp.int32),
             pltpu.SemaphoreType.DMA((tile,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_vmem_limit(tile, layout.row)),
+            vmem_limit_bytes=_vmem_limit(tile, layout.seg)),
         interpret=interpret,
     )(packed)
     leaf, action, pnodes, pacts, plen = out
@@ -347,9 +333,9 @@ def _gumbel_select_kernel(layout: PackedLayout, depth_limit: int,
                           rows_vmem, nodes_vmem, stopped_vmem, sems):
     """Forced root hop + the deterministic Gumbel non-root rule.
 
-    Per hop (all VPU over the [B, row] tile): completed-Q per action
-    (visited => W/N, else the node's mixed value from the value column at
-    ``4*seg + 1``), pi' = softmax(log prior + (c_visit + max N) * c_scale
+    Per hop (all VPU over the [B, seg] segment slices): completed-Q per
+    action (visited => W/N, else the node's mixed value from the meta
+    sublane's col 1), pi' = softmax(log prior + (c_visit + max N) * c_scale
     * completedQ), action = argmax(pi' - N/(1+sum N)); the hop at depth 0
     takes the lane's forced ``root_action`` instead.  Stop/record/path
     semantics identical to :func:`_select_kernel`.
@@ -360,7 +346,6 @@ def _gumbel_select_kernel(layout: PackedLayout, depth_limit: int,
     action, hence walking a disjoint subtree — into one kernel launch.
     """
     a = layout.num_actions
-    s = layout.seg
     b = rows_vmem.shape[0]
     iota_a = jax.lax.broadcasted_iota(jnp.int32, (b, a), 1)
 
@@ -402,14 +387,15 @@ def _gumbel_select_kernel(layout: PackedLayout, depth_limit: int,
         h, _ = carry
         fetch_groups()
         nodes = nodes_vmem[:]
-        rows = _select_group_row(rows_vmem[:], nodes % GROUP, b)
+        tiles = rows_vmem[:]                     # [B, GROUP, seg]
         active = stopped_vmem[:] == 0
 
-        n = rows[:, 0:a]
-        w = rows[:, s:s + a]
-        p_signed = rows[:, 2 * s:2 * s + a]
-        done = rows[:, 4 * s:4 * s + 1] > 0.5
-        v_node = rows[:, 4 * s + 1:4 * s + 2]          # [B, 1]
+        n = tiles[:, SL_N, :][:, 0:a]
+        w = tiles[:, SL_W, :][:, 0:a]
+        p_signed = tiles[:, SL_P, :][:, 0:a]
+        meta = tiles[:, SL_META, :]
+        done = meta[:, 0:1] > 0.5
+        v_node = meta[:, 1:2]                    # [B, 1]
 
         legal = p_signed >= 0.0
         p = jnp.maximum(p_signed, 0.0)
@@ -441,7 +427,7 @@ def _gumbel_select_kernel(layout: PackedLayout, depth_limit: int,
 
         onehot = iota_a == action
         child = jnp.sum(
-            jnp.where(onehot, rows[:, 3 * s:3 * s + a], 0.0),
+            jnp.where(onehot, tiles[:, SL_C, :][:, 0:a], 0.0),
             axis=1, keepdims=True,
         ).astype(jnp.int32)
 
@@ -527,13 +513,13 @@ def gumbel_select_walk(packed: jax.Array, root_actions: jax.Array,
             jax.ShapeDtypeStruct((b, 1), jnp.int32),   # path len
         ),
         scratch_shapes=[
-            pltpu.VMEM((tile, GROUP, layout.row), jnp.float32),
+            pltpu.VMEM((tile, GROUP, layout.seg), jnp.float32),
             pltpu.VMEM((tile, 1), jnp.int32),
             pltpu.VMEM((tile, 1), jnp.int32),
             pltpu.SemaphoreType.DMA((tile,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_vmem_limit(tile, layout.row)),
+            vmem_limit_bytes=_vmem_limit(tile, layout.seg)),
         interpret=interpret,
     )(packed, root_actions.reshape(b, 1).astype(jnp.int32))
     leaf, action, pnodes, pacts, plen = out
@@ -547,11 +533,15 @@ def _backup_kernel(layout: PackedLayout, mode: str,
                    packed_in, pnodes_ref, pacts_ref, plen_ref, values_ref,
                    expanding_ref, priors_ref, done_ref, slot_ref,
                    packed_out, rows_vmem, hopnodes_vmem, sems):
-    a = layout.num_actions
     s = layout.seg
     b = rows_vmem.shape[0]
-    iota_a = jax.lax.broadcasted_iota(jnp.int32, (b, a), 1)
-    iota_g = jax.lax.broadcasted_iota(jnp.int32, (b, GROUP), 1)
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
+    iota_sub = jax.lax.broadcasted_iota(jnp.int32, (1, GROUP, 1), 1)
+    sub_n = (iota_sub == SL_N).astype(jnp.float32)
+    sub_w = (iota_sub == SL_W).astype(jnp.float32)
+    sub_p = (iota_sub == SL_P).astype(jnp.float32)
+    sub_c = (iota_sub == SL_C).astype(jnp.float32)
+    sub_m = (iota_sub == SL_META).astype(jnp.float32)
 
     plen = plen_ref[:]          # [B, 1] i32
     values = values_ref[:]      # [B, 1] f32
@@ -560,60 +550,51 @@ def _backup_kernel(layout: PackedLayout, mode: str,
     max_len = jnp.max(plen)
     lane0 = pl.program_id(0) * b  # absolute lane of this tile's first row
 
-    # ---- compose the fresh slot row in VMEM ---------------------------
+    # ---- compose the fresh slot tile in VMEM ---------------------------
     # Writing it here (instead of an XLA dynamic-update-slice in the scan
     # body) keeps the packed tree untouched by any XLA op between the
     # custom-calls: XLA's layout assignment otherwise puts the row
-    # compose/update cluster in a {2,0,1} (node-major) layout and inserts
-    # a full-tree relayout copy PER SIMULATION — measured 0.37 ms/sim at
+    # compose/update cluster in a node-major layout and inserts a
+    # full-tree relayout copy PER SIMULATION — measured 0.37 ms/sim at
     # 64x408x1152, >30% of the whole simulation (round-3 device trace).
-    # The per-move init already pre-sets children=-1 and zero stats for
-    # every node, so only the priors segment and the done flag are
-    # written.  Orphan (non-expanding) lanes get the row too, matching
-    # the XLA glue's unconditional write — nothing ever links to them.
+    # In the node-as-group layout nothing shares the slot's tile, so in
+    # "backup"/"vl" mode (fresh slot: zero stats, children -1 from the
+    # per-move init) the compose is a PURE WRITE — no read DMA.  In
+    # "finalize" mode later vl sims of the same macro step may already
+    # have visited/expanded the slot node, so N/W/C are preserved via a
+    # read-modify-write.  Orphan (non-expanding) lanes get the tile too,
+    # matching the XLA glue's unconditional write — nothing links to them.
     n_max = layout.n_nodes - 1
     sg = _group_base(slot, n_max)
 
-    def cstart(k, _):
-        pltpu.make_async_copy(
-            packed_out.at[lane0 + k, pl.ds(sg, GROUP), :], rows_vmem.at[k],
-            sems.at[k],
-        ).start()
-        return 0
-    jax.lax.fori_loop(0, b, cstart, 0)
+    iota_col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s), 2)
+    col0 = (iota_col == 0).astype(jnp.float32)
+    col1 = (iota_col == 1).astype(jnp.float32)
+    dn = done_ref[:]                                     # [B, 1]
+    meta3 = dn[:, :, None] * col0 + values[:, :, None] * col1   # [B,1,S]
+    pri3 = priors_ref[:][:, None, :]                     # [B, 1, S]
 
-    def cwait(k, _):
-        pltpu.make_async_copy(
-            packed_out.at[lane0 + k, pl.ds(sg, GROUP), :], rows_vmem.at[k],
-            sems.at[k],
-        ).wait()
-        return 0
-    jax.lax.fori_loop(0, b, cwait, 0)
+    if mode == "finalize":
+        def cstart(k, _):
+            pltpu.make_async_copy(
+                packed_out.at[lane0 + k, pl.ds(sg, GROUP), :],
+                rows_vmem.at[k], sems.at[k],
+            ).start()
+            return 0
+        jax.lax.fori_loop(0, b, cstart, 0)
 
-    groups0 = rows_vmem[:]                                   # [B, GROUP, R]
-    sub_f = (iota_g == slot % GROUP).astype(jnp.float32)     # [B, GROUP]
-    upd0 = sub_f[:, :, None]
-    pri = priors_ref[:]                                      # [B, A]
-    dn = done_ref[:]                                         # [B, 1]
-    rows_vmem[:, :, 2 * s:2 * s + a] = (
-        groups0[:, :, 2 * s:2 * s + a] * (1.0 - upd0)
-        + upd0 * pri[:, None, :]
-    )
-    # the done flag lives at column 4*s and the node's own value estimate
-    # (for the Gumbel completed-Q mix) at 4*s + 1; the write covers the
-    # full 128-lane segment — width-1 minor-dim slices of a 3-D VMEM ref
-    # are a Mosaic trouble class (cf. the round-2 sublane notes).  In
-    # "vl" mode ``values`` is the zero placeholder and "finalize"
-    # re-writes the column with the real value.
-    seg_w = layout.row - 4 * s
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, 1, seg_w), 2)
-    col0 = (iota_w == 0).astype(jnp.float32)
-    col1 = (iota_w == 1).astype(jnp.float32)
-    newseg = dn[:, None, :] * col0 + values[:, None, :] * col1
-    rows_vmem[:, :, 4 * s:] = (
-        groups0[:, :, 4 * s:] * (1.0 - upd0)
-        + upd0 * newseg
-    )
+        def cwait(k, _):
+            pltpu.make_async_copy(
+                packed_out.at[lane0 + k, pl.ds(sg, GROUP), :],
+                rows_vmem.at[k], sems.at[k],
+            ).wait()
+            return 0
+        jax.lax.fori_loop(0, b, cwait, 0)
+        groups0 = rows_vmem[:]
+        keep = 1.0 - sub_p - sub_m
+        rows_vmem[:] = groups0 * keep + sub_p * pri3 + sub_m * meta3
+    else:
+        rows_vmem[:] = sub_p * pri3 + sub_c * (-1.0) + sub_m * meta3
 
     def cwb_start(k, _):
         pltpu.make_async_copy(
@@ -659,43 +640,38 @@ def _backup_kernel(layout: PackedLayout, mode: str,
             return 0
         jax.lax.fori_loop(0, b, wait, 0)
 
-        groups = rows_vmem[:]   # [B, GROUP, R]
-        nodes = hopnodes_vmem[:]
+        groups = rows_vmem[:]   # [B, GROUP, seg]
         acts = jnp.reshape(pacts_ref[pl.ds(i, 1), :], (b, 1))
         active_f = (i < plen).astype(jnp.float32)       # [B, 1]
         # masks as f32 throughout: Mosaic cannot broadcast i1 vectors into
         # a new minor dim, 32-bit types only
-        sub_mask_f = (iota_g == nodes % GROUP).astype(jnp.float32) * active_f
-        onehot_f = (iota_a == acts).astype(jnp.float32) * active_f
+        onehot_f = (iota_s == acts).astype(jnp.float32) * active_f  # [B, S]
+        oh3 = onehot_f[:, None, :]                      # [B, 1, S]
 
         # v at edge i (0 = root edge) is value * (-1)^(L - i): the leaf sits
         # L hops below, and perspective flips once per hop up
         # (tree._apply_eval_and_backup)
         parity = jnp.bitwise_and(plen - i, 1) == 1
-        v = jnp.where(parity, -values, values)
+        v = jnp.where(parity, -values, values)          # [B, 1]
+        v3 = v[:, :, None]                              # [B, 1, 1]
 
-        upd_f = sub_mask_f[:, :, None] * onehot_f[:, None, :]
         if mode == "backup":       # one-shot backup: N+1, W += v_flipped
-            rows_vmem[:, :, 0:a] = groups[:, :, 0:a] + upd_f
-            w_add = upd_f * v[:, :, None]
+            delta = oh3 * (sub_n + sub_w * v3)
         elif mode == "vl":         # virtual loss: N+1, W-1, NO flip
-            rows_vmem[:, :, 0:a] = groups[:, :, 0:a] + upd_f
-            w_add = -upd_f
+            delta = oh3 * (sub_n - sub_w)
         elif mode == "finalize":   # replace VL: W += v_flipped + 1, N as-is
-            w_add = upd_f * (v[:, :, None] + 1.0)
+            delta = oh3 * (sub_w * (v3 + 1.0))
         else:
             raise ValueError(f"unknown backup mode: {mode!r}")
-        rows_vmem[:, :, s:s + a] = groups[:, :, s:s + a] + w_add
+        new = groups + delta
 
         # expansion edge (the path's last hop of an expanding lane) links
-        # the fresh slot into the children segment
+        # the fresh slot into the children sublane
         is_exp_f = (jnp.logical_and(expanding, i == plen - 1)
-                    .astype(jnp.float32))
-        set_c = upd_f * is_exp_f[:, :, None]
-        rows_vmem[:, :, 3 * s:3 * s + a] = jnp.where(
-            set_c > 0.5, slot.astype(jnp.float32),
-            groups[:, :, 3 * s:3 * s + a]
-        )
+                    .astype(jnp.float32))               # [B, 1]
+        set_c = oh3 * sub_c * is_exp_f[:, :, None]
+        new = jnp.where(set_c > 0.5, slot.astype(jnp.float32), new)
+        rows_vmem[:] = new
 
         def wstart(k, _):
             g = _group_base(hopnodes_vmem[k, 0], n_max)
@@ -726,31 +702,38 @@ def backup_paths(packed: jax.Array, path_nodes: jax.Array,
                  layout: PackedLayout,
                  signed_priors: jax.Array, done: jax.Array,
                  interpret: bool = False, mode: str = "backup") -> jax.Array:
-    """Write the fresh slot row, then apply one simulation's backup.
+    """Write the fresh slot tile, then apply one simulation's backup.
 
     In-place on ``packed`` (aliased); returns the updated array.  ``slot``
     (i32 scalar, traced) is the node index expanded this simulation
-    (lane-uniform by construction); its row receives ``signed_priors``
-    ([B, A]) and the ``done`` flag ([B]) — stats stay at the pre-move
-    init (zero N/W, children -1).  Lanes with ``expanding[b] == 0``
-    stopped on a terminal or depth-capped node and only receive N/W
-    updates along their path.
+    (lane-uniform by construction); its tile receives ``signed_priors``
+    ([B, A] — padded to the segment width here) and the ``done`` flag
+    ([B]) — stats stay at the pre-move init (zero N/W, children -1).
+    Lanes with ``expanding[b] == 0`` stopped on a terminal or depth-capped
+    node and only receive N/W updates along their path.
 
     ``mode`` selects the k-leaves-per-sim phase (tree._select_expand_vl /
     _finalize_leaf semantics):
       - "backup": the one-shot k=1 path — N+1, W += v_flipped per edge.
       - "vl": virtual loss — N+1, W-1 per edge with NO perspective flip
         (``values`` unused); ``signed_priors`` should be the uniform
-        placeholder; composes the slot row and links the child so the
+        placeholder; composes the slot tile and links the child so the
         next select can descend through it.
       - "finalize": W += v_flipped + 1 per edge (cancels the virtual
-        loss), N untouched; re-composes the slot row with the REAL priors
-        (done/children writes are idempotent re-writes of the vl pass).
+        loss), N untouched; re-composes the slot tile with the REAL priors
+        while preserving N/W/C accumulated by later vl sims of the same
+        macro step.
     """
     b = packed.shape[0]
     tile, n_tiles = _lane_tiling(b)
     d = path_nodes.shape[0]
     a = signed_priors.shape[-1]
+    s = layout.seg
+    if a < s:
+        # pad the prior segment to the tile width; pad cols read as
+        # illegal (-1) and are never consumed by the walk kernels
+        signed_priors = jnp.pad(signed_priors, ((0, 0), (0, s - a)),
+                                constant_values=-1.0)
     kernel = functools.partial(_backup_kernel, layout, mode)
     return pl.pallas_call(
         kernel,
@@ -767,24 +750,24 @@ def backup_paths(packed: jax.Array, path_nodes: jax.Array,
                          memory_space=pltpu.VMEM),   # values
             pl.BlockSpec((tile, 1), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),   # expanding
-            pl.BlockSpec((tile, a), lambda t: (t, 0),
-                         memory_space=pltpu.VMEM),   # slot-row priors
+            pl.BlockSpec((tile, s), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),   # slot-tile priors
             pl.BlockSpec((tile, 1), lambda t: (t, 0),
-                         memory_space=pltpu.VMEM),   # slot-row done flag
+                         memory_space=pltpu.VMEM),   # slot-tile done flag
             pl.BlockSpec((1, 1), lambda t: (0, 0),
                          memory_space=pltpu.SMEM),   # slot
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         out_shape=jax.ShapeDtypeStruct(packed.shape, packed.dtype),
         scratch_shapes=[
-            pltpu.VMEM((tile, GROUP, layout.row), jnp.float32),
+            pltpu.VMEM((tile, GROUP, layout.seg), jnp.float32),
             pltpu.VMEM((tile, 1), jnp.int32),
             pltpu.SemaphoreType.DMA((tile,)),
         ],
         input_output_aliases={0: 0},
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            vmem_limit_bytes=_vmem_limit(tile, layout.row)),
+            vmem_limit_bytes=_vmem_limit(tile, layout.seg)),
         interpret=interpret,
     )(packed, path_nodes, path_actions,
       path_len.reshape(b, 1).astype(jnp.int32),

@@ -4,7 +4,8 @@ Drop-in alternative to :func:`search.tree.run_mcts_with_q` producing
 bit-identical policies: the per-simulation select walk and backup run as
 Pallas kernels (:mod:`alphazero_gomoku_tpu.ops.tree_kernels`) instead of
 XLA gather/scatter loops, and the tree lives as ONE packed f32 array
-``[B, n_nodes, row]`` instead of separate N/W/prior/children tensors.
+``[B, n_nodes * 8, seg]`` of per-node [8, seg] tiles instead of separate
+N/W/prior/children tensors (segment map in ``ops/tree_kernels``).
 Everything else — root evaluation + Dirichlet noise, the game-step on
 expansion, leaf evaluation by the network, terminal handling — stays plain
 XLA and is shared with the reference implementation in ``tree.py``.
@@ -38,6 +39,12 @@ import jax
 import jax.numpy as jnp
 
 from alphazero_gomoku_tpu.ops.tree_kernels import (
+    GROUP,
+    SL_C,
+    SL_META,
+    SL_N,
+    SL_P,
+    SL_W,
     backup_paths,
     gumbel_select_walk,
     packed_layout,
@@ -69,6 +76,19 @@ def _flat_board(st):
 def _unflat_board(st, h, w):
     b = st.board
     return st._replace(board=b.reshape(b.shape[:-1] + (h, w)))
+
+
+def _init_packed(batch, layout):
+    """Fresh packed tree [B, n_nodes * GROUP, seg]: zero stats, children -1.
+
+    Node ``k`` owns sublane rows ``[k*GROUP, (k+1)*GROUP)``; the strided
+    write hits every node's child sublane (``SL_C``) in one XLA op.  Runs
+    once per move, outside the simulation scan (the per-sim tree writes
+    all live inside the Pallas custom-calls — see ops/tree_kernels).
+    """
+    packed = jnp.zeros((batch, layout.n_nodes * GROUP, layout.seg),
+                       jnp.float32)
+    return packed.at[:, SL_C::GROUP, :].set(-1.0)
 
 
 class PackedCarry(NamedTuple):
@@ -146,7 +166,6 @@ def run_mcts_packed_with_tree(
     a = env.num_actions
     n = cfg.node_capacity
     layout = packed_layout(a, n)
-    s = layout.seg
     size = env.size
 
     if carry is not None:
@@ -166,14 +185,6 @@ def run_mcts_packed_with_tree(
         batch = root_states.done.shape[0]
         slot_base = 1
 
-    def compose_rows(signed_priors, done):
-        """[B, A] signed priors + [B] done -> fresh packed rows [B, R]."""
-        row = jnp.zeros((batch, layout.row), jnp.float32)
-        row = row.at[:, 2 * s:2 * s + a].set(signed_priors)
-        row = row.at[:, 3 * s:3 * s + a].set(-1.0)
-        row = row.at[:, 4 * s].set(done.astype(jnp.float32))
-        return row
-
     # --- root priors (+ Dirichlet), same PRNG protocol as tree.py --------
     rng, sub = jax.random.split(rng)
     signed = root_signed_priors(env, cfg, eval_fn, net_params, root_states,
@@ -187,17 +198,14 @@ def run_mcts_packed_with_tree(
 
         states = jax.tree_util.tree_map(stack_field,
                                         _flat_board(root_states))
-        packed = jnp.zeros((batch, layout.n_nodes, layout.row), jnp.float32)
-        packed = packed.at[:, :, 3 * s:3 * s + a].set(-1.0)
-        packed = packed.at[:, 0, :].set(
-            compose_rows(signed, root_states.done))
+        packed = _init_packed(batch, layout)
         parent = jnp.full((batch, layout.n_nodes), -1, jnp.int32)
         pact_arr = jnp.full((batch, layout.n_nodes), -1, jnp.int32)
-    else:
-        # refresh the root prior segment + done flag; N/W/children carry
-        packed = packed.at[:, 0, 2 * s:2 * s + a].set(signed)
-        packed = packed.at[:, 0, 4 * s].set(
-            root_states.done.astype(jnp.float32))
+    # refresh the root prior segment + done flag; N/W/children carry
+    # (zeros/-1 on a fresh tree, so this doubles as the root compose)
+    packed = packed.at[:, SL_P, :a].set(signed)
+    packed = packed.at[:, SL_META, 0].set(
+        root_states.done.astype(jnp.float32))
 
     # --- simulations ------------------------------------------------------
     def one_sim(carry, sim_idx):
@@ -367,13 +375,15 @@ def run_mcts_packed_with_tree(
         )
 
     # --- visit-count policy + root value (as tree.run_mcts_with_q) -------
-    counts = packed[:, 0, 0:a]
+    # root = node 0, whose tile is sublane rows [0, GROUP): N at row SL_N,
+    # W at SL_W, signed priors at SL_P
+    counts = packed[:, SL_N, :a]
     totals = jnp.sum(counts, axis=-1, keepdims=True)
-    legal01 = (packed[:, 0, 2 * s:2 * s + a] >= 0.0).astype(jnp.float32)
+    legal01 = (packed[:, SL_P, :a] >= 0.0).astype(jnp.float32)
     uniform = legal01 / jnp.maximum(
         jnp.sum(legal01, axis=-1, keepdims=True), 1.0)
     pi = jnp.where(totals > 0, counts / jnp.maximum(totals, 1e-30), uniform)
-    root_w = jnp.sum(packed[:, 0, s:s + a], axis=-1)
+    root_w = jnp.sum(packed[:, SL_W, :a], axis=-1)
     root_q = root_w / jnp.maximum(totals[:, 0], 1.0)
     return pi, root_q, PackedCarry(packed, states, parent, pact_arr)
 
@@ -442,7 +452,6 @@ def run_gumbel_packed_with_tree(
     a = env.num_actions
     n = cfg.node_capacity
     layout = packed_layout(a, n)
-    s = layout.seg
     size = env.size
     m, phases = halving_schedule(cfg.n_simulations, cfg.gumbel_max_considered)
 
@@ -476,16 +485,16 @@ def run_gumbel_packed_with_tree(
 
         states = jax.tree_util.tree_map(stack_field,
                                         _flat_board(root_states))
-        packed = jnp.zeros((batch, layout.n_nodes, layout.row), jnp.float32)
-        packed = packed.at[:, :, 3 * s:3 * s + a].set(-1.0)
+        packed = _init_packed(batch, layout)
         parent = jnp.full((batch, layout.n_nodes), -1, jnp.int32)
         pact_arr = jnp.full((batch, layout.n_nodes), -1, jnp.int32)
     # refresh the root prior segment, done flag, and value estimate;
-    # N/W/children carry over (zeros on a fresh tree)
-    packed = packed.at[:, 0, 2 * s:2 * s + a].set(signed)
-    packed = packed.at[:, 0, 4 * s].set(
+    # N/W/children carry over (zeros on a fresh tree).  Root = node 0 =
+    # sublane rows [0, GROUP).
+    packed = packed.at[:, SL_P, :a].set(signed)
+    packed = packed.at[:, SL_META, 0].set(
         root_states.done.astype(jnp.float32))
-    packed = packed.at[:, 0, 4 * s + 1].set(v0)
+    packed = packed.at[:, SL_META, 1].set(v0)
 
     logits = jnp.where(legal > 0, jnp.log(jnp.maximum(priors, 1e-30)),
                        NEG_INF)
@@ -496,8 +505,8 @@ def run_gumbel_packed_with_tree(
     _, ranked = jax.lax.top_k(g + logits, m)
 
     def root_score(packed):
-        n_root = packed[:, 0, 0:a]
-        w_root = packed[:, 0, s:s + a]
+        n_root = packed[:, SL_N, :a]
+        w_root = packed[:, SL_W, :a]
         q_hat = w_root / jnp.maximum(n_root, 1.0)
         maxvisit = jnp.max(n_root, axis=-1, keepdims=True)
         sig = (cfg.gumbel_c_visit + maxvisit) * cfg.gumbel_c_scale * q_hat
@@ -682,10 +691,10 @@ def run_gumbel_packed_with_tree(
     action = ranked[:, 0].astype(jnp.int32)
 
     # --- outputs (completed-Q target, as the XLA implementation) --------
-    n_root = packed[:, 0, 0:a]
-    w_root = packed[:, 0, s:s + a]
+    n_root = packed[:, SL_N, :a]
+    w_root = packed[:, SL_W, :a]
     q = w_root / jnp.maximum(n_root, 1.0)
-    p = jnp.maximum(packed[:, 0, 2 * s:2 * s + a], 0.0)
+    p = jnp.maximum(packed[:, SL_P, :a], 0.0)
     visited = n_root > 0.0
     p_vis = jnp.sum(jnp.where(visited, p, 0.0), axis=-1, keepdims=True)
     w_q = jnp.sum(jnp.where(visited, p * q, 0.0), axis=-1,
@@ -730,10 +739,11 @@ def packed_advance_root(env, cfg: MCTSConfig, carry: PackedCarry,
 
     def single(packed, states, parent, pact, action):
         cap = layout.n_nodes
-        s = layout.seg
         budget = cfg.reuse_budget
         idx = jnp.arange(cap, dtype=jnp.int32)
-        r = packed[0, 3 * s + action].astype(jnp.int32)
+        # per-lane node view [cap, GROUP, seg] of the sublane-flat tree
+        nodes = packed.reshape(cap, GROUP, layout.seg)
+        r = nodes[0, SL_C, action].astype(jnp.int32)
         have = r >= 0
         r_safe = jnp.maximum(r, 0)
 
@@ -763,20 +773,18 @@ def packed_advance_root(env, cfg: MCTSConfig, carry: PackedCarry,
         def remap(ptr):
             return jnp.where(ptr >= 0, new_of_old[jnp.maximum(ptr, 0)], -1)
 
-        rows = packed[order]                              # [cap, row]
-        ch = remap(rows[:, 3 * s:3 * s + a].astype(jnp.int32))
-        rows = rows.at[:, 3 * s:3 * s + a].set(ch.astype(jnp.float32))
-        rows = jnp.where(take[:, None], rows, 0.0)
-        # orphan/fresh rows must carry children = -1 (the backup kernel's
-        # slot-row compose writes only priors + done)
-        rows = rows.at[:, 3 * s:3 * s + a].set(
-            jnp.where(take[:, None], rows[:, 3 * s:3 * s + a], -1.0))
+        rows = nodes[order]                               # [cap, GROUP, seg]
+        ch = remap(rows[:, SL_C, :].astype(jnp.int32))
+        rows = rows.at[:, SL_C, :].set(ch.astype(jnp.float32))
+        rows = jnp.where(take[:, None, None], rows, 0.0)
+        # orphan/fresh node tiles must carry children = -1 (matching the
+        # fresh-tree init the backup kernel's slot compose relies on)
+        rows = rows.at[:, SL_C, :].set(
+            jnp.where(take[:, None], rows[:, SL_C, :], -1.0))
 
-        # the state stack has cfg.node_capacity rows while packed/parent
-        # are padded to the 8-row DMA group (layout.n_nodes); survivors
-        # all rank below reuse_budget <= node_capacity, so the stack only
-        # needs the ranking's prefix (OOB gather indices of padding ranks
-        # clamp and are masked to zero)
+        # the state stack has cfg.node_capacity rows, matching the node
+        # count exactly; survivors all rank below
+        # reuse_budget <= node_capacity
         n_stack = states.done.shape[0]
         order_s = order[:n_stack]
         take_s = take[:n_stack]
@@ -793,7 +801,7 @@ def packed_advance_root(env, cfg: MCTSConfig, carry: PackedCarry,
             jax.tree_util.tree_map(lambda x: x[0], states), size, size)
         stepped = _flat_board(env.step(root_state, action))
         fresh_rows = jnp.zeros_like(rows)
-        fresh_rows = fresh_rows.at[:, 3 * s:3 * s + a].set(-1.0)
+        fresh_rows = fresh_rows.at[:, SL_C, :].set(-1.0)
         fresh_states = jax.tree_util.tree_map(
             lambda x, st: jnp.zeros_like(x).at[0].set(st),
             states, stepped)
@@ -801,7 +809,8 @@ def packed_advance_root(env, cfg: MCTSConfig, carry: PackedCarry,
 
         pick = lambda yes, no: jnp.where(have, yes, no)
         out_states = jax.tree_util.tree_map(pick, new_states, fresh_states)
-        return (pick(rows, fresh_rows), out_states,
+        out_rows = pick(rows, fresh_rows).reshape(cap * GROUP, layout.seg)
+        return (out_rows, out_states,
                 pick(new_parent, no_tree), pick(new_pact, no_tree))
 
     packed, states, parent, pact = jax.vmap(single)(
@@ -820,7 +829,6 @@ def init_packed_carry(env, cfg: MCTSConfig, root_states) -> PackedCarry:
         raise ValueError("init_packed_carry requires cfg.reuse_budget > 0")
     a = env.num_actions
     layout = packed_layout(a, cfg.node_capacity)
-    s = layout.seg
     batch = root_states.done.shape[0]
     n = cfg.node_capacity
 
@@ -829,8 +837,7 @@ def init_packed_carry(env, cfg: MCTSConfig, root_states) -> PackedCarry:
         return z.at[:, 0].set(x)
 
     states = jax.tree_util.tree_map(stack_field, _flat_board(root_states))
-    packed = jnp.zeros((batch, layout.n_nodes, layout.row), jnp.float32)
-    packed = packed.at[:, :, 3 * s:3 * s + a].set(-1.0)
+    packed = _init_packed(batch, layout)
     parent = jnp.full((batch, layout.n_nodes), -1, jnp.int32)
     pact = jnp.full((batch, layout.n_nodes), -1, jnp.int32)
     return PackedCarry(packed, states, parent, pact)

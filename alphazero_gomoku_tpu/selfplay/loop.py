@@ -125,6 +125,30 @@ def train_epoch_gather_fn(net_cfg, tx, params, batch_stats, opt_state,
     return params, batch_stats, opt_state, last
 
 
+def gate_decision(gate_stat: str, win_rate, ci95, threshold: float,
+                  run_arena: bool = True):
+    """(accepted, reset_worthy) for one arena result — the promotion gate.
+
+    ``gate_stat`` semantics (see the ``train_alphazero`` parameter doc):
+      - "ci_low": promote only when the Wilson 95% LOWER bound clears the
+        threshold; reset-worthy only when the UPPER bound falls below it
+        (statistically supported inferiority).  Inconclusive arenas do
+        neither.
+      - "win_rate": reference parity (/root/reference/train.py:813-827) —
+        point estimate vs threshold, reset on any miss.
+    With ``run_arena`` False (an ``eval_every``-skipped iteration) both
+    outputs are False: best unchanged, candidate un-reset.
+    """
+    if not run_arena:
+        return False, False
+    if gate_stat == "ci_low":
+        lo, hi = ci95
+        return lo >= threshold, hi < threshold
+    if gate_stat == "win_rate":
+        return win_rate >= threshold, win_rate < threshold
+    raise ValueError(f"unknown gate_stat: {gate_stat!r}")
+
+
 def train_alphazero(
     game_name: str = "gomoku",
     board_size: int = 15,
@@ -198,6 +222,15 @@ def train_alphazero(
     # arena pinned at 0.5 the whole time (DECISIONS.md round-2 notes).
     anchor_arena_every: int = 0,
     anchor_model_path: Optional[str] = None,
+    # anchor arena SEARCH config (round-3, run-15 post-mortem): with the
+    # anchor played at the training search config, run-15's gumbel@64
+    # anchor track read 0.45-0.62 all run while the promotion metric
+    # (f32 puct@400 mirrored arena) read a 0.33-0.41 REGRESSION from
+    # iter 10 — the two search modes rank nets differently, so the gate
+    # signal must be taken at the config promotions are decided under.
+    # 0 / None = inherit eval_mcts_simulations / mcts_search.
+    anchor_mcts_simulations: int = 0,
+    anchor_search: Optional[str] = None,
     # gate semantics when the candidate fails the arena threshold:
     #   "reset" (reference parity, train.py:826-834): candidate <- best,
     #     discarding the iteration's optimizer progress;
@@ -471,6 +504,23 @@ def train_alphazero(
         gumbel_round_parallel=(gumbel_round_parallel
                                and mcts_search == "gumbel"),
     )
+    anchor_half_fn = None  # sharded anchor arena (set with the mesh below)
+    anchor_sims = anchor_mcts_simulations or eval_mcts_simulations
+    anchor_mode = anchor_search or mcts_search
+    if anchor_mode not in ("puct", "gumbel"):
+        raise ValueError(f"unknown anchor_search: {anchor_search!r}")
+    anchor_cfg = MCTSConfig(
+        n_simulations=anchor_sims, cpuct=cpuct, add_noise=False,
+        max_depth=mcts_max_depth, backend=mcts_backend,
+        leaves_per_sim=(mcts_leaves_per_sim
+                        if anchor_sims % mcts_leaves_per_sim == 0
+                        else 1),
+        fpu_mode=mcts_fpu_mode,
+        search=anchor_mode,
+        gumbel_max_considered=gumbel_max_considered,
+        gumbel_round_parallel=(gumbel_round_parallel
+                               and anchor_mode == "gumbel"),
+    )
     arena_half_fn = None
     if selfplay_mode == "continuous":
         steps = selfplay_steps or env.num_actions
@@ -506,6 +556,9 @@ def train_alphazero(
             make_sharded_arena, make_sharded_gather_epoch,
         )
         arena_half_fn = make_sharded_arena(env, arena_cfg, eval_fn, mesh)
+        anchor_half_fn = (
+            arena_half_fn if anchor_cfg == arena_cfg
+            else make_sharded_arena(env, anchor_cfg, eval_fn, mesh))
         if batch_size % mesh.devices.size == 0:
             # device-resident ring + sharded gather epoch: replay arrays
             # stay replicated in HBM; only the [steps, batch] index array
@@ -732,11 +785,11 @@ def train_alphazero(
             with timer.phase("anchor"):
                 try:
                     anchor_stats = evaluate_params_detailed(
-                        env, arena_cfg, eval_fn,
+                        env, anchor_cfg, eval_fn,
                         search_bundle(model_candidate),
                         search_bundle(model_anchor),
                         eval_games, jax.random.PRNGKey(seed * 104729 + it),
-                        arena_half_fn=arena_half_fn,
+                        arena_half_fn=anchor_half_fn,
                     )
                     a_lo, a_hi = anchor_stats["ci95"]
                     ap = anchor_stats["pairs"]
@@ -749,13 +802,9 @@ def train_alphazero(
                     log(f"anchor arena failed: {e}")
 
         # ---- phase 4: gate (skipped along with the arena) --------------
-        if gate_stat == "ci_low":
-            accepted = run_arena and ci_lo >= win_rate_threshold
-            # reset only on statistically-supported inferiority
-            reset_worthy = run_arena and ci_hi < win_rate_threshold
-        else:  # "win_rate": reference point-estimate parity
-            accepted = run_arena and win_rate >= win_rate_threshold
-            reset_worthy = run_arena and not accepted
+        accepted, reset_worthy = gate_decision(
+            gate_stat, win_rate, (ci_lo, ci_hi), win_rate_threshold,
+            run_arena=run_arena)
         if not run_arena:
             pass  # no arena this iteration: best unchanged, no reset
         elif accepted:

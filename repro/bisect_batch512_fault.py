@@ -109,12 +109,13 @@ b, sims, nodes = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
 a = 225
 interp = jax.default_backend() == "cpu"   # CPU smoke-test mode
 layout = packed_layout(a, nodes)
-s = layout.seg
 key = jax.random.PRNGKey(0)
-packed = jnp.zeros((b, layout.n_nodes, layout.row), jnp.float32)
-packed = packed.at[:, :, 3 * s:3 * s + a].set(-1.0)
+# node-as-group layout (round 3): [B, n_nodes * 8, seg], sublanes
+# N=0 W=1 P=2 C=3 meta=4 per node tile
+packed = jnp.zeros((b, layout.n_nodes * 8, layout.seg), jnp.float32)
+packed = packed.at[:, 3::8, :].set(-1.0)          # children -1
 pri = jax.nn.softmax(jax.random.normal(key, (b, a)))
-packed = packed.at[:, 0, 2 * s:2 * s + a].set(pri)
+packed = packed.at[:, 2, :a].set(pri)             # root priors
 
 
 @jax.jit

@@ -1,5 +1,6 @@
 """Continuous (auto-reset) self-play runner tests."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -179,6 +180,7 @@ def test_continuous_gumbel_stream():
     assert len(zs) > 0 and sum(stats.values()) == int(ended.sum())
 
 
+@pytest.mark.slow  # fast-lane budget (round-3 durations audit)
 def test_continuous_gumbel_round_parallel_differential():
     """Round-parallel halving rounds are bit-exact vs the serial schedule
     when driving the continuous stream (same PRNG keys, same resets)."""

@@ -165,6 +165,7 @@ def test_alpha_player_gumbel_mode():
     assert 0 <= r < SIZE and 0 <= c < SIZE and board[r, c] == 0
 
 
+@pytest.mark.slow  # fast-lane budget (round-3 durations audit)
 def test_gumbel_pente_smoke():
     """Gumbel search is env-agnostic: a Pente batch produces legal
     distributions (captures/terminal handling via the shared expand
@@ -214,6 +215,7 @@ def test_gumbel_packed_matches_xla():
     np.testing.assert_allclose(np.asarray(q_x), np.asarray(q_p), atol=1e-5)
 
 
+@pytest.mark.slow  # fast-lane budget (round-3 durations audit)
 def test_gumbel_packed_dispatch_via_backend():
     """MCTSConfig(search='gumbel', backend='pallas') routes batches >= 8
     through the packed walk (and still returns valid distributions)."""
@@ -233,6 +235,7 @@ def test_gumbel_packed_dispatch_via_backend():
     assert (pi[legal == 0] < 1e-6).all()
 
 
+@pytest.mark.slow  # fast-lane budget (round-3 durations audit)
 def test_gumbel_pcr_composition_packed():
     """PCR's cheap/full cond + the packed gumbel walk in lockstep
     self-play: both branches share node capacity; games complete."""
@@ -255,6 +258,7 @@ def test_gumbel_pcr_composition_packed():
     assert ((sums[active] > 0.5) | (sums[active] < 1e-6)).all()
 
 
+@pytest.mark.slow  # fast-lane budget (round-3 durations audit)
 def test_gumbel_reuse_empty_carry_matches_fresh():
     """Gumbel with an empty reuse carry is semantically a fresh search
     (same pi target and halving winner; slots merely shift by
@@ -289,6 +293,7 @@ def test_gumbel_reuse_empty_carry_matches_fresh():
     np.testing.assert_allclose(np.asarray(q_f), np.asarray(q_r), atol=1e-5)
 
 
+@pytest.mark.slow  # fast-lane budget (round-3 durations audit)
 def test_gumbel_selfplay_with_reuse():
     """Lockstep self-play: gumbel + cross-move subtree reuse thread the
     packed carry through the move loop; games complete with legal
@@ -310,6 +315,7 @@ def test_gumbel_selfplay_with_reuse():
     active = np.asarray(traj.active)
     np.testing.assert_allclose(pis[active].sum(axis=-1), 1.0, atol=1e-4)
 
+@pytest.mark.slow  # fast-lane budget (round-3 durations audit)
 def test_gumbel_round_parallel_matches_serial_xla():
     """Round-parallel gumbel (one NN call per halving round) is BIT-EXACT
     vs the serial XLA driver on midgame boards (every lane has >= m legal
@@ -376,6 +382,7 @@ def test_gumbel_round_parallel_matches_serial_packed():
     np.testing.assert_allclose(np.asarray(pi_x), np.asarray(pi_p), atol=1e-5)
 
 
+@pytest.mark.slow  # fast-lane budget (round-3 durations audit)
 def test_gumbel_round_parallel_endgame_duplicates_valid():
     """With fewer legal moves than m the illegal-candidate fallback forces
     DUPLICATE root actions inside one round (the documented divergence
@@ -411,6 +418,7 @@ def test_gumbel_round_parallel_endgame_duplicates_valid():
     assert (np.asarray(act) == 3 * SIZE + 5).all()
 
 
+@pytest.mark.slow  # fast-lane budget (round-3 durations audit)
 def test_gumbel_round_parallel_reuse_carry_matches_serial():
     """Round-parallel composes with cross-move subtree reuse: search move
     1, advance the packed carry, and the move-2 search from the CARRIED
@@ -448,6 +456,7 @@ def test_gumbel_round_parallel_reuse_carry_matches_serial():
     np.testing.assert_array_equal(np.asarray(q_s), np.asarray(q_p))
 
 
+@pytest.mark.slow  # fast-lane budget (round-3 durations audit)
 def test_gumbel_round_parallel_selfplay_games_complete():
     """Lockstep self-play with the round-parallel flag (packed backend):
     games complete with legal normalized targets."""

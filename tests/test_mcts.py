@@ -406,6 +406,7 @@ def test_symmetric_dirichlet_distribution(alpha):
     assert abs(got_mean - ref_mean) < 0.05, (alpha, got_mean, ref_mean)
 
 
+@pytest.mark.slow  # fast-lane budget (round-3 durations audit)
 def test_terminal_value_mode_signed_coincides_in_reachable_states():
     """M2 close-out (legacy old_mcts_alpha.py:80-84): the signed terminal
     value (+1 if the mover already won) coincides with the production

@@ -1,5 +1,6 @@
 """Self-play runner, buffer, and collection tests (CPU, tiny configs)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -267,6 +268,7 @@ def test_playout_cap_randomization_masks_cheap_plies():
     assert float(policy_kl(logits, zero_rows)) == 0.0
 
 
+@pytest.mark.slow  # fast-lane budget (round-3 durations audit)
 def test_playout_cap_randomization_composes_with_reuse():
     """PCR's cheap/full cond branches share node capacity, so the packed
     reuse carry threads through either branch with identical shapes."""

@@ -162,6 +162,7 @@ def test_train_loop_end_to_end(tmp_path):
     assert hist2[0]["buffer_size"] >= hist[-1]["buffer_size"]
 
 
+@pytest.mark.slow  # fast-lane budget (round-3 durations audit)
 def test_train_loop_eval_every_skips_arena(tmp_path):
     """eval_every=2: odd iterations skip the arena (win_rate None, no
     gate action) while training continues; arena iterations still gate."""
@@ -355,6 +356,7 @@ def test_train_loop_gumbel_search(tmp_path):
     assert np.isfinite(hist[0]["loss"]["total_loss"])
 
 
+@pytest.mark.slow  # fast-lane budget (round-3 durations audit)
 def test_gate_stat_ci_low_semantics(tmp_path):
     """gate_stat='ci_low' (default): promotion needs the Wilson lower
     bound above the threshold, and reset mode only resets on a CI fully
@@ -413,3 +415,26 @@ def test_gate_stat_ci_low_semantics(tmp_path):
     with pytest.raises(ValueError, match="gate_stat"):
         train_alphazero(gate_stat="bogus", model_dir=str(tmp_path / "x"),
                         **common)
+
+
+def test_gate_decision_pure():
+    """Fast-lane twin of test_gate_stat_ci_low_semantics: the promotion
+    gate as a pure function (the slow test drives it through a real
+    train_alphazero run)."""
+    from alphazero_gomoku_tpu.selfplay.loop import gate_decision
+
+    # ci_low: inconclusive CI spanning the threshold -> no action
+    assert gate_decision("ci_low", 0.5, (0.2, 0.8), 0.55) == (False, False)
+    # lower bound clears it -> promoted
+    assert gate_decision("ci_low", 0.8, (0.66, 0.9), 0.55) == (True, False)
+    # upper bound below it -> statistically worse, reset-worthy
+    assert gate_decision("ci_low", 0.2, (0.1, 0.4), 0.55) == (False, True)
+    # win_rate: reference point-estimate parity -> reset on any miss
+    assert gate_decision("win_rate", 0.5, (0.3, 0.7), 0.55) == (False, True)
+    assert gate_decision("win_rate", 0.6, (0.4, 0.8), 0.55) == (True, False)
+    # skipped arena (eval_every) -> never promote, never reset
+    assert gate_decision("ci_low", None, (None, None), 0.55,
+                         run_arena=False) == (False, False)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="gate_stat"):
+        gate_decision("bogus", 0.5, (0.4, 0.6), 0.5)

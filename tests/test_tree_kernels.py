@@ -163,23 +163,25 @@ def test_lane_tile_override_is_bit_identical(monkeypatch):
     lanes share a grid step; a 2x tile over the same batch must produce
     bit-identical select-walk outputs (the envelope probe relies on it)."""
     import alphazero_gomoku_tpu.ops.tree_kernels as tk
-    from alphazero_gomoku_tpu.ops.tree_kernels import packed_layout
+    from alphazero_gomoku_tpu.ops.tree_kernels import (
+        GROUP, SL_C, SL_N, SL_P, SL_W, packed_layout)
 
     rng = np.random.default_rng(0)
     a, n_nodes, b = 49, 32, 16
     lay = packed_layout(a, n_nodes)
-    packed = np.zeros((b, lay.n_nodes, lay.row), np.float32)
-    packed[:, 0, 2 * lay.seg:2 * lay.seg + a] = rng.random((b, a),
-                                                           dtype=np.float32)
+    nodes = np.zeros((b, lay.n_nodes, GROUP, lay.seg), np.float32)
+    nodes[:, :, SL_P, :] = -1.0
+    nodes[:, :, SL_C, :] = -1.0
+    nodes[:, 0, SL_P, :a] = rng.random((b, a), dtype=np.float32)
     for i in range(b):
         for c in range(1, 5):
             act = int(rng.integers(0, a))
-            packed[i, 0, 3 * lay.seg + act] = c
-            packed[i, 0, act] = float(rng.integers(1, 5))
-            packed[i, 0, lay.seg + act] = float(rng.random() * 2 - 1)
-            packed[i, c, 2 * lay.seg:2 * lay.seg + a] = rng.random(
-                a, dtype=np.float32)
-    packed = jnp.asarray(packed)
+            nodes[i, 0, SL_C, act] = c
+            nodes[i, 0, SL_N, act] = float(rng.integers(1, 5))
+            nodes[i, 0, SL_W, act] = float(rng.random() * 2 - 1)
+            nodes[i, c, SL_P, :a] = rng.random(a, dtype=np.float32)
+    packed = jnp.asarray(
+        nodes.reshape(b, lay.n_nodes * GROUP, lay.seg))
     outs = {}
     for tile in (8, 16):
         monkeypatch.setattr(tk, "LANE_TILE", tile)

@@ -64,6 +64,7 @@ def test_move1_identical_to_fresh_search():
     np.testing.assert_array_equal(np.asarray(pi), np.asarray(pi_fresh))
 
 
+@pytest.mark.slow  # fast-lane budget (round-3 durations audit)
 def test_advance_carries_child_stats_and_pointers():
     cfg = _cfg()
     env, states, mn, pi, trees = _first_move(cfg)
@@ -82,6 +83,7 @@ def test_advance_carries_child_stats_and_pointers():
     _assert_pointer_consistent(adv)
 
 
+@pytest.mark.slow  # fast-lane budget (round-3 durations audit)
 def test_advance_truncates_to_budget():
     cfg = _cfg(n_simulations=64, reuse_budget=4, max_depth=16)
     env, states, mn, pi, trees = _first_move(cfg, batch=1)
@@ -98,6 +100,7 @@ def test_advance_truncates_to_budget():
     assert ch.max() < cfg.reuse_budget
 
 
+@pytest.mark.slow  # fast-lane budget (round-3 durations audit)
 def test_advance_unexpanded_action_falls_back_to_fresh():
     cfg = _cfg()
     env, states, mn, pi, trees = _first_move(cfg, batch=1)
@@ -126,6 +129,7 @@ def test_resumed_search_accumulates_root_visits():
     assert float(jnp.min(jnp.sum(pi2, -1))) == pytest.approx(1.0, abs=1e-5)
 
 
+@pytest.mark.slow  # fast-lane budget (round-3 durations audit)
 def test_player_reuses_tree_across_moves():
     from alphazero_gomoku_tpu.players.alpha_base import AlphaZeroPlayer
 
@@ -173,11 +177,12 @@ def test_packed_reuse_matches_xla_backend():
     carry2 = packed_advance_root(env, cfg, carry, acts)
     # carried root rows agree: N/W of the new root
     A = SIZE * SIZE
-    from alphazero_gomoku_tpu.ops.tree_kernels import packed_layout
-    s = packed_layout(A, cfg.node_capacity).seg
-    np.testing.assert_allclose(np.asarray(carry2.packed[:, 0, 0:A]),
+    # node-as-group layout: root tile = sublane rows [0, 8); N at row
+    # SL_N (0), W at row SL_W (1)
+    from alphazero_gomoku_tpu.ops.tree_kernels import SL_N, SL_W
+    np.testing.assert_allclose(np.asarray(carry2.packed[:, SL_N, 0:A]),
                                np.asarray(trees2.nw[:, 0, :A]))
-    np.testing.assert_allclose(np.asarray(carry2.packed[:, 0, s:s + A]),
+    np.testing.assert_allclose(np.asarray(carry2.packed[:, SL_W, 0:A]),
                                np.asarray(trees2.nw[:, 0, A:]))
 
     pi_x2, _, _ = run_mcts_with_tree(env, cfg, peaked_eval, None, mn + 1,

@@ -23,19 +23,23 @@ import numpy as np
 
 
 def build_chain_tree(b, depth, layout):
-    """Packed [B, n_nodes, row] where node i -> node i+1 via action 0.
+    """Packed [B, n_nodes * 8, seg] where node i -> node i+1 via action 0.
 
-    Nodes 0..depth-1 are expanded with a single legal prior on action 0 and
-    child i+1; node depth has child -1 on action 0 (the unexpanded edge the
-    walk stops on).
+    Node-as-group layout (ops/tree_kernels): node k owns sublane rows
+    [k*8, k*8+8) with N/W/P/C/meta on sublanes 0-4.  Nodes 0..depth-1 are
+    expanded with a single legal prior on action 0 and child i+1; node
+    depth has child -1 on action 0 (the unexpanded edge the walk stops on).
     """
-    a, s = layout.num_actions, layout.seg
-    rows = np.zeros((layout.n_nodes, layout.row), np.float32)
-    rows[:, 2 * s:2 * s + a] = -1.0           # all priors illegal
-    rows[:, 3 * s:3 * s + a] = -1.0           # all children unexpanded
-    rows[: depth + 1, 2 * s] = 1.0            # action 0 legal on the chain
-    rows[:depth, 3 * s] = np.arange(1, depth + 1)   # child links
-    rows[: depth + 1, 0] = 1.0                # N[a=0] = 1 (visited once)
+    from alphazero_gomoku_tpu.ops.tree_kernels import (
+        GROUP, SL_C, SL_N, SL_P)
+
+    nodes = np.zeros((layout.n_nodes, GROUP, layout.seg), np.float32)
+    nodes[:, SL_P, :] = -1.0                  # all priors illegal
+    nodes[:, SL_C, :] = -1.0                  # all children unexpanded
+    nodes[: depth + 1, SL_P, 0] = 1.0         # action 0 legal on the chain
+    nodes[:depth, SL_C, 0] = np.arange(1, depth + 1)   # child links
+    nodes[: depth + 1, SL_N, 0] = 1.0         # N[a=0] = 1 (visited once)
+    rows = nodes.reshape(layout.n_nodes * GROUP, layout.seg)
     packed = np.broadcast_to(rows, (b,) + rows.shape).copy()
     return jnp.asarray(packed)
 
