@@ -92,6 +92,16 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--anchor-model-path", default=None,
                     help="anchor checkpoint (default: frozen copy of the "
                          "starting weights)")
+    ap.add_argument("--anchor-mcts-simulations", type=int, default=0,
+                    help="sims/move for the anchor arena (0 = inherit "
+                         "--eval-mcts-simulations). Take the anchor signal "
+                         "at the config promotions are decided under — "
+                         "run-15's gumbel@64 anchor read ~0.5 while the "
+                         "f32 puct@400 promotion metric regressed")
+    ap.add_argument("--anchor-search", default=None,
+                    choices=["puct", "gumbel"],
+                    help="search mode for the anchor arena (default: "
+                         "inherit --mcts-search)")
     ap.add_argument("--gate-mode", default="reset",
                     choices=["reset", "track"],
                     help="on gate failure: 'reset' restores the candidate "
@@ -205,6 +215,8 @@ def main(argv=None):
         gumbel_round_parallel=args.gumbel_round_parallel,
         anchor_arena_every=args.anchor_arena_every,
         anchor_model_path=args.anchor_model_path,
+        anchor_mcts_simulations=args.anchor_mcts_simulations,
+        anchor_search=args.anchor_search,
         gate_mode=args.gate_mode,
         n_res_blocks=args.n_res_blocks,
         channels=args.channels,

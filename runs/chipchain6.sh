@@ -17,8 +17,12 @@ echo "=== [$(date -u)] chain6: lane-tile A/B on a quiet chip ===" >> "$LOG"
 probe() { # probe <label> <tile> <bench args...>
   local label=$1 tile=$2; shift 2
   echo "--- $label (AZG_LANE_TILE=$tile) ---" >> "$LOG"
-  AZG_LANE_TILE=$tile timeout 1200 python bench.py "$@" 2>/dev/null \
-    | grep '^{' >> "$LOG" || echo "FAILED/timeout: $label" >> "$LOG"
+  # stderr goes to a per-probe file and the exit code is recorded, so a
+  # failure is diagnosable (compile timeout vs VMEM/OOM vs runtime crash)
+  # instead of one opaque FAILED/timeout line (advisor round-2 finding).
+  AZG_LANE_TILE=$tile timeout 1200 python bench.py "$@" \
+    2>"runs/probe_${label}.err" | grep '^{' >> "$LOG" \
+    || echo "FAILED: $label exit=$? (stderr: runs/probe_${label}.err)" >> "$LOG"
 }
 
 # headline gumbel config (#6): control then candidate, interleaved twice

@@ -16,13 +16,20 @@ CHAIN6_PID=${1:?usage: chipchain7.sh <chain6_pid>}
 while kill -0 "$CHAIN6_PID" 2>/dev/null; do sleep 20; done
 sleep 5
 
+# Gate on the harvest JSON only if it is FRESH (written within the last
+# 6 h, i.e. by this chain's chain5 link, not a stale or hand-edited file
+# — advisor round-2 finding).  For new chains, prefer the stronger fix:
+# have the harvest write a run-scoped filename (or embed the candidate
+# checkpoint hash) and validate it here before branching.
 PROMOTED=no
 if [ -f metrics/run15_harvest_ab.json ]; then
   PROMOTED=$(python - << 'EOF'
-import json
+import json, os, time
 try:
-    d = json.load(open("metrics/run15_harvest_ab.json"))
-    print("yes" if d["ci95"][0] > 0.5 else "no")
+    path = "metrics/run15_harvest_ab.json"
+    fresh = time.time() - os.path.getmtime(path) < 6 * 3600
+    d = json.load(open(path))
+    print("yes" if fresh and d["ci95"][0] > 0.5 else "no")
 except Exception:
     print("no")
 EOF
