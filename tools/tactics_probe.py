@@ -53,6 +53,10 @@ def main(argv=None):
     ap.add_argument("--sims", type=int, default=64)
     ap.add_argument("--size", type=int, default=15)
     ap.add_argument("--game", default="gomoku", choices=["gomoku", "pente"])
+    ap.add_argument("--suite", default="full", choices=["core", "full"],
+                    help="core = the 3 canonical positions; full = the "
+                         "oracle-validated >=20-position suite "
+                         "(tools/tactics_suites.py)")
     args = ap.parse_args(argv)
 
     import jax
@@ -72,10 +76,26 @@ def main(argv=None):
     bundle = bundle_of(net)
     cfg = MCTSConfig(n_simulations=args.sims, cpuct=1.0, add_noise=False)
 
+    if args.suite == "full" and args.size == 15:
+        import os
+        import sys
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tactics_suites import suite_for
+
+        probe_positions = [(p.name, p.board, p.to_move, set(p.keys),
+                            p.captures, p.category) for p in
+                           suite_for(args.game)]
+    else:
+        probe_positions = [(name, b, tm, keys, (0, 0), "core")
+                           for name, b, tm, keys in positions(args.size)]
+
     ok_prior = ok_search = 0
     results = []
-    for name, board, to_move, keys in positions(args.size):
-        state = env.from_board(jnp.asarray(board), to_move)
+    for name, board, to_move, keys, caps, category in probe_positions:
+        if args.game == "pente":
+            state = env.from_board(jnp.asarray(board), to_move, captures=caps)
+        else:
+            state = env.from_board(jnp.asarray(board), to_move)
         batched = jax.tree_util.tree_map(lambda x: x[None], state)
         obs = jax.vmap(env.encode)(batched)
         probs, value = eval_fn(bundle, obs)
@@ -96,7 +116,7 @@ def main(argv=None):
         ok_prior += hit_prior
         ok_search += hit_search
         results.append({
-            "position": name, "to_move": to_move,
+            "position": name, "category": category, "to_move": to_move,
             "value": round(float(np.asarray(value)[0, 0]), 3),
             "prior_on_keys": round(float(key_prior), 3),
             "prior_top": top(probs), "prior_hit": bool(hit_prior),
@@ -105,6 +125,7 @@ def main(argv=None):
         })
         print(json.dumps(results[-1]), flush=True)
     print(json.dumps({"model": args.model, "sims": args.sims,
+                      "suite": args.suite,
                       "prior_hits": ok_prior, "search_hits": ok_search,
                       "total": len(results)}), flush=True)
     return 0
