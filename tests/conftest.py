@@ -18,3 +18,36 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402  (import after env setup)
 
 jax.config.update("jax_platform_name", "cpu")
+# Persistent XLA compilation cache: dedupes identical programs ACROSS tests
+# within a single cold run (heavy differential tests deliberately share
+# shapes/configs so their compiles hit this), and makes local re-runs of the
+# lane near-instant.  Set via config.update, NOT the env var: the image's
+# sitecustomize imports jax before conftest runs, so env defaults are
+# already frozen.  Measured on the worst gumbel differential: 59.5 s cold
+# -> 9.7 s warm.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/azg-test-jax-cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    """Fast-lane budget guard: flag non-slow tests that exceed 15 s.
+
+    The lane's budget is < 300 s wall (ROADMAP #11 / judge round-2 #7);
+    this prints offenders on every run so re-bloat is visible the day it
+    lands instead of at the next durations audit.
+    """
+    over = []
+    for reports in terminalreporter.stats.values():
+        for rep in reports:
+            if getattr(rep, "when", None) != "call":
+                continue
+            if rep.duration > 15 and "slow" not in rep.keywords:
+                over.append((rep.duration, rep.nodeid))
+    if over:
+        terminalreporter.write_sep(
+            "=", "fast-lane budget offenders (>15s, not marked slow)")
+        for dur, nodeid in sorted(over, reverse=True):
+            terminalreporter.write_line(f"  {dur:6.1f}s  {nodeid}")
