@@ -64,7 +64,8 @@ def run_bench(batch_games: int = 256, n_simulations: int = 400,
               leaves_per_sim: int = 1, search: str = "puct",
               gumbel_parallel: bool = False,
               vs_baseline: float = BASELINE_MOVES_PER_SEC,
-              trace_dir: str = None, repeats: int = 3) -> dict:
+              trace_dir: str = None, repeats: int = 3,
+              int8_skip: str = "bf16") -> dict:
     """Lockstep self-play throughput (configs #2/#3/#4 shapes).
 
     ``infer`` picks the search-time forward: "f32" exact apply (default —
@@ -124,7 +125,8 @@ def run_bench(batch_games: int = 256, n_simulations: int = 400,
                                                        random_calib_obs)
         cin = env.encode(env.init()).shape[-1]
         bundle = quantize_int8(model.cfg, model.params, model.batch_stats,
-                               random_calib_obs(model.cfg, cin=cin))
+                               random_calib_obs(model.cfg, cin=cin),
+                               residual=int8_skip)
     else:
         bundle = bundle_of(model)
 
@@ -321,6 +323,12 @@ if __name__ == "__main__":
                     "quantized inference - 497 moves/s at batch 256 vs "
                     "371 f32, strength-neutral (tools/int8_ab.py: 0.50 "
                     "win rate, 3/10/3 mirrored pairs)")
+    ap.add_argument("--int8-skip", default="bf16",
+                    choices=["f32", "bf16", "int8"],
+                    help="skip-track storage for --infer int8: bf16 "
+                    "(default) halves the round-2 f32 epilogue stream at "
+                    "f32-equivalent accuracy; int8 is fastest but costs "
+                    "top-1 agreement (ops/int8_net.py docstring)")
     ap.add_argument("--backend", default="pallas", choices=["xla", "pallas"])
     ap.add_argument("--blocks", type=int, default=6)
     ap.add_argument("--channels", type=int, default=128)
@@ -348,5 +356,5 @@ if __name__ == "__main__":
             backend=a.backend, n_res_blocks=a.blocks, channels=a.channels,
             game=a.game, measure_moves=a.moves, leaves_per_sim=a.kleaf,
             search=a.search, gumbel_parallel=a.gumbel_parallel,
-            trace_dir=a.trace,
+            trace_dir=a.trace, int8_skip=a.int8_skip,
         )))

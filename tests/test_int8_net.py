@@ -74,12 +74,24 @@ def test_int8_matches_f32_on_random_net():
 
 
 @pytest.mark.slow
-def test_int8_accuracy_on_shipped_checkpoint():
+@pytest.mark.parametrize("residual,min_top1,max_kl,max_vmae", [
+    # Observed on this checkpoint (per-channel scheme, real positions):
+    # f32/bf16 skip: top1 ~0.91, KL ~0.02, vmae ~0.019; int8 skip
+    # compounds the requant error through the tower: top1 ~0.84.
+    # Disagreements concentrate on near-tie positions; strength
+    # neutrality is established by the device arena A/B
+    # (tools/int8_ab.py), not by top-1 alone.
+    ("bf16", 0.85, 0.06, 0.04),
+    ("int8", 0.78, 0.10, 0.06),
+])
+def test_int8_accuracy_on_shipped_checkpoint(residual, min_top1, max_kl,
+                                             max_vmae):
     """Real-position accuracy gate (random-legal-move game states)."""
     model = AZModel.from_checkpoint(CKPT)
     cfg = model.cfg
     obs = jnp.asarray(random_play_calib_obs(cfg, n=96, seed=3))
-    q = quantize_int8(cfg, model.params, model.batch_stats, obs)
+    q = quantize_int8(cfg, model.params, model.batch_stats, obs,
+                      residual=residual)
     # held-out positions, not the calibration set
     test_obs = jnp.asarray(random_play_calib_obs(cfg, n=96, seed=4))
     ql, qv = int8_apply(cfg, q, test_obs)
@@ -91,13 +103,39 @@ def test_int8_accuracy_on_shipped_checkpoint():
     kl = float(jnp.mean(jnp.sum(
         fp * (jnp.log(fp + 1e-12) - jnp.log(qp + 1e-12)), axis=-1)))
     vmae = float(jnp.mean(jnp.abs(qv - fv)))
-    # Observed on this checkpoint (per-channel scheme, real positions):
-    # top1 ~0.91, KL ~0.02, vmae ~0.019.  Disagreements concentrate on
-    # near-tie positions; strength neutrality is established by the
-    # device arena A/B (tools/int8_ab.py), not by top-1 alone.
-    assert top1 >= 0.85, f"top-1 agreement {top1}"
-    assert kl < 0.06, f"policy KL {kl}"
-    assert vmae < 0.04, f"value MAE {vmae}"
+    assert top1 >= min_top1, f"top-1 agreement {top1} ({residual} skip)"
+    assert kl < max_kl, f"policy KL {kl} ({residual} skip)"
+    assert vmae < max_vmae, f"value MAE {vmae} ({residual} skip)"
+
+
+@pytest.mark.parametrize("residual", ["f32", "bf16", "int8"])
+def test_residual_modes_run_and_agree(residual):
+    """Every skip-track mode runs; bf16 tracks f32 tightly on a small net."""
+    cfg = _small_cfg()
+    params, stats = _init(cfg, 7)
+    obs = _random_obs(cfg, 16, seed=8)
+    q = quantize_int8(cfg, params, stats, obs, residual=residual)
+    assert ("res8" in q) == (residual == "int8")
+    assert ("resbf" in q) == (residual == "bf16")
+    ql, qv = int8_apply(cfg, q, obs)
+    qf = quantize_int8(cfg, params, stats, obs, residual="f32")
+    fl, fv = int8_apply(cfg, qf, obs)
+    cc = np.corrcoef(np.asarray(ql).ravel(), np.asarray(fl).ravel())[0, 1]
+    # bf16 skip must be numerically indistinguishable at this scale;
+    # int8 skip may drift but stays strongly correlated
+    assert cc > (0.999 if residual != "int8" else 0.97), f"{residual}: {cc}"
+
+
+def test_residual_modes_with_f32_tail():
+    """res8 carry hands back to f32 cleanly at the f32-tail boundary."""
+    cfg = _small_cfg(blocks=3)
+    params, stats = _init(cfg, 9)
+    obs = _random_obs(cfg, 8, seed=10)
+    for residual in ("bf16", "int8"):
+        q = quantize_int8(cfg, params, stats, obs, residual=residual,
+                          f32_last_blocks=1)
+        ql, qv = int8_apply(cfg, q, obs)
+        assert ql.shape == (8, 81) and np.all(np.isfinite(np.asarray(ql)))
 
 
 def test_int8_eval_fn_shapes():

@@ -40,6 +40,10 @@ def main(argv=None):
     ap.add_argument("--max-depth", type=int, default=56)
     ap.add_argument("--calib", type=int, default=256)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--skip", default="bf16",
+                    choices=["f32", "bf16", "int8"],
+                    help="skip-track storage of the int8 side "
+                         "(quantize_int8 residual=...)")
     args = ap.parse_args(argv)
 
     from alphazero_gomoku_tpu.games import make_env
@@ -56,7 +60,8 @@ def main(argv=None):
 
     q_bundle = quantize_int8(
         cfg, model.params, model.batch_stats,
-        random_play_calib_obs(cfg, game=args.game, n=args.calib))
+        random_play_calib_obs(cfg, game=args.game, n=args.calib),
+        residual=args.skip)
     f_bundle = {"params": model.params, "batch_stats": model.batch_stats}
 
     def eval_fn(bundle, obs):

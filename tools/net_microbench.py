@@ -67,18 +67,24 @@ def main(argv=None):
 
     from alphazero_gomoku_tpu.ops.int8_net import (
         int8_apply, quantize_int8, random_calib_obs)
-    q8 = quantize_int8(cfg, model.params, model.batch_stats,
-                       random_calib_obs(cfg, n=64))
+    calib = random_calib_obs(cfg, n=64)
+    q8 = {res: quantize_int8(cfg, model.params, model.batch_stats, calib,
+                             residual=res)
+          for res in ("f32", "bf16", "int8")}
 
-    def int8(obs):
-        logits, value = int8_apply(cfg, q8, obs)
-        return jax.nn.softmax(logits, -1), value
+    def int8(bundle):
+        def fn(obs):
+            logits, value = int8_apply(cfg, bundle, obs)
+            return jax.nn.softmax(logits, -1), value
+        return fn
 
     modes = {
         "exact_f32": exact,
         "folded_f32": lambda obs: folded_xla_apply(cfg, folded_f32, obs),
         "folded_bf16": lambda obs: folded_xla_apply(cfg, folded_bf16, obs),
-        "int8": int8,
+        "int8_skipf32": int8(q8["f32"]),
+        "int8_skipbf16": int8(q8["bf16"]),
+        "int8_skipint8": int8(q8["int8"]),
     }
 
     results = {}
