@@ -22,10 +22,11 @@ Scheme (post-training, symmetric, per-channel on BOTH sides):
   - Each 3x3 conv runs int8 x int8 -> int32 on the MXU; the per-Cout
     dequant scale and folded bias are applied in f32, fused by XLA into
     the conv epilogue.  Inter-layer activations are stored int8 (1/4 the
-    f32 HBM traffic); the skip track is stored bf16 by default (round 3 —
-    half the f32 stream, accuracy within noise), with ``residual="int8"``
-    (carry rides the conv's own int8 tensor, least traffic, small top-1
-    cost) and ``residual="f32"`` (exact round-2 track) as options.
+    f32 HBM traffic); the skip track defaults to exact f32
+    (the arena-A/B-validated round-2 track), with ``residual="bf16"``
+    (half the skip stream, accuracy within noise on held-out top-1) and
+    ``residual="int8"`` (carry rides the conv's own int8 tensor, least
+    traffic, small top-1 cost) as options pending their own strength A/Bs.
   - The policy/value heads (<1% of FLOPs) run in f32.
 
 Training is untouched — this is an inference-only path selected via
@@ -91,7 +92,7 @@ def _folded_forward_ranges(cfg: NetConfig, folded, obs):
 def quantize_int8(cfg: NetConfig, params, batch_stats,
                   calib_obs, bias_correct: bool = True,
                   f32_last_blocks: int = 0,
-                  residual: str = "bf16") -> Dict[str, Any]:
+                  residual: str = "f32") -> Dict[str, Any]:
     """Build the int8 inference bundle from training params + calib states.
 
     ``calib_obs``: [N, H, W, Cin] f32 representative observations (a few
@@ -109,7 +110,7 @@ def quantize_int8(cfg: NetConfig, params, batch_stats,
     remotely every iteration and cost more than it saved.
 
     ``residual`` selects the inter-block skip-track storage:
-      - "bf16" (default): the carry is stored once in bf16 — half the
+      - "bf16": the carry is stored once in bf16 — half the
         round-2 f32 skip stream at ~3-significant-digit precision
         (measured accuracy within noise of f32 on the shipped net).
       - "int8": the carry IS the int8 tensor the next conv reads,
@@ -288,18 +289,14 @@ def _qconv(x_q, w_q, out_scale, bias):
     return y.astype(jnp.float32) * out_scale + bias
 
 
-def _requant(x_f32, s_chan):
-    """f32 -> int8 at per-channel ``s_chan`` [C] (symmetric, rounded)."""
-    return jnp.clip(jnp.round(x_f32 / s_chan), -QMAX, QMAX).astype(jnp.int8)
-
-
 def _requant_inv(x_f32, inv_s):
     """f32 -> int8 by per-channel RECIPROCAL scale (multiply, not divide).
 
+    Symmetric rounded quantization at per-channel scale ``1 / inv_s``.
     The VPU retires multiplies faster than divides and the reciprocal is
-    precomputed at quantize time; numerically identical to ``_requant``
-    up to one ulp of the reciprocal, which the round() absorbs for all
-    but grid-boundary values.
+    precomputed at quantize time; numerically identical to the divide
+    form up to one ulp of the reciprocal, which the round() absorbs for
+    all but grid-boundary values.
     """
     return jnp.clip(jnp.round(x_f32 * inv_s), -QMAX, QMAX).astype(jnp.int8)
 
@@ -312,8 +309,8 @@ def int8_apply(cfg: NetConfig, q, obs) -> Tuple[jax.Array, jax.Array]:
     f32.  The skip-track storage is keyed off the bundle's structural
     marker: ``res8`` — the carry is materialized ONLY as the int8 tensor
     the next conv reads and the skip-add dequantizes it in the epilogue;
-    ``resbf`` — the carry is stored bf16 (default); neither — exact f32
-    (round-2 scheme).
+    ``resbf`` — the carry is stored bf16; neither — exact f32 (the
+    default, round-2 scheme).
     """
     f32 = jnp.float32
 
@@ -361,7 +358,7 @@ def int8_apply(cfg: NetConfig, q, obs) -> Tuple[jax.Array, jax.Array]:
         # at ~3-significant-digit precision — far inside the int8 grid
         # the next conv rounds to anyway)
         resbf = "resbf" in q
-        for blk in blocks:
+        for bi, blk in enumerate(blocks):
             r = h.astype(f32) if resbf else h
             if blk.get("f32"):
                 m = jax.nn.relu(conv_f(r, blk["w1"]) + blk["b1"])
@@ -373,7 +370,10 @@ def int8_apply(cfg: NetConfig, q, obs) -> Tuple[jax.Array, jax.Array]:
                 m_q = _requant_inv(m, blk["inv_mid"])
                 y = _qconv(m_q, blk["w2"], blk["scale2"], blk["b2"])
             h = jax.nn.relu(y + r)
-            if resbf:
+            # the carry is narrowed only BETWEEN blocks: the last block's
+            # output feeds the heads directly, where a bf16 round-trip
+            # would be a pure precision loss with no HBM saving
+            if resbf and bi < len(blocks) - 1:
                 h = h.astype(jnp.bfloat16)
         h = h.astype(f32)
 

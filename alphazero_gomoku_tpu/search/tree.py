@@ -97,13 +97,23 @@ class MCTSConfig:
     #     so both modes coincide (tests/test_mcts.py); the flag exists to
     #     formally cover the legacy search's semantic surface (SURVEY M2).
     terminal_value_mode: str = "always_loss"
-    # cross-move subtree reuse (opt-in; XLA backend only).  0 = off: every
-    # move searches a fresh tree (bit-exact reference-parity semantics).
-    # R > 0: callers thread the returned tree through
-    # :func:`advance_root` between moves, which re-roots at the played
-    # action and compacts the surviving subtree (BFS priority, truncated
-    # to R slots); fresh simulations then allocate slots R, R+1, ... so
-    # expansion writes stay lane-uniform dense slices.  Measured
+    # cross-move subtree reuse (opt-in).  0 = off: every move searches a
+    # fresh tree (bit-exact reference-parity semantics).  R > 0: callers
+    # thread the returned tree through :func:`advance_root` (XLA backend)
+    # or ``tree_pallas.packed_advance_root`` (packed backend) between
+    # moves, which re-roots at the played action and compacts the
+    # surviving subtree (BFS priority, truncated to R slots); fresh
+    # simulations then allocate slots R, R+1, ... so expansion writes
+    # stay lane-uniform dense slices.  Support matrix (tests assert each
+    # cell, tests/test_reuse_matrix.py):
+    #   puct   x xla    -> yes (players default ON; run_mcts_with_tree)
+    #   puct   x pallas -> yes (self-play PackedCarry; bit-identical to
+    #                      the XLA backend by differential test)
+    #   gumbel x xla    -> NO  (__post_init__ raises: the gumbel reuse
+    #                      driver exists only on the packed backend)
+    #   gumbel x pallas -> yes (run_gumbel_packed_with_tree)
+    # Self-play additionally requires backend='pallas' and batch >= 8
+    # (selfplay/runner.py — the packed kernels' lane floor).  Measured
     # motivation: ~42-47% of a move's expansions already exist in the
     # previous move's tree (tools/tt_rate_probe.py) — the reference gets
     # this for free from its state-keyed node dicts

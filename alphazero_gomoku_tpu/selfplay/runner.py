@@ -164,9 +164,10 @@ def play_games(
     # cross-move subtree reuse (cfg.mcts.reuse_budget > 0): the packed
     # tree is threaded through the move loop and re-rooted at every
     # played action, so each move's search starts with ~45% of its
-    # expansions already in place (tools/tt_rate_probe.py).  Packed
-    # backend only — the XLA backend's reuse entry exists but self-play
-    # runs pallas in production.
+    # expansions already in place (tools/tt_rate_probe.py).  Reuse
+    # itself works on BOTH backends (support matrix at
+    # MCTSConfig.reuse_budget, search/tree.py); THIS self-play driver
+    # wires only the packed carry, hence the pallas requirement below.
     gumbel = cfg.mcts.search == "gumbel"
     reuse = cfg.mcts.reuse_budget > 0
     if reuse and (cfg.mcts.backend != "pallas" or batch < 8):

@@ -321,12 +321,14 @@ if __name__ == "__main__":
                     choices=["f32", "bf16", "fused", "int8"],
                     help="int8 (default): bias-corrected per-channel "
                     "quantized inference - 497 moves/s at batch 256 vs "
-                    "371 f32, strength-neutral (tools/int8_ab.py: 0.50 "
-                    "win rate, 3/10/3 mirrored pairs)")
-    ap.add_argument("--int8-skip", default="bf16",
+                    "371 f32; strength-neutral WITH THE f32 SKIP TRACK "
+                    "(tools/int8_ab.py round 2: 0.50 win rate, 3/10/3 "
+                    "mirrored pairs)")
+    ap.add_argument("--int8-skip", default="f32",
                     choices=["f32", "bf16", "int8"],
-                    help="skip-track storage for --infer int8: bf16 "
-                    "(default) halves the round-2 f32 epilogue stream at "
+                    help="skip-track storage for --infer int8: f32 "
+                    "(default) is the arena-A/B-validated round-2 track; "
+                    "bf16 halves the f32 epilogue stream at "
                     "f32-equivalent accuracy; int8 is fastest but costs "
                     "top-1 agreement (ops/int8_net.py docstring)")
     ap.add_argument("--backend", default="pallas", choices=["xla", "pallas"])
