@@ -101,7 +101,9 @@ def _vmem_limit(tile: int, seg: int) -> int:
     (the backup delta masks), capped well under the physical limit.
     """
     scratch = tile * GROUP * seg * 4
-    return min(int(scratch * 4) + 16 * 1024 * 1024, 112 * 1024 * 1024)
+    # x8: up to 4 row buffers (3 pipeline + compose in the backup kernel)
+    # plus headroom for the hop body's tile-shaped temporaries
+    return min(int(scratch * 8) + 16 * 1024 * 1024, 112 * 1024 * 1024)
 
 
 class PackedLayout(NamedTuple):
@@ -168,6 +170,12 @@ def _select_kernel(layout: PackedLayout, cpuct: float, depth_limit: int,
     n_max = layout.n_nodes - 1  # DMA guard: see _group_base
 
     def fetch_groups():
+        # NOTE (round 4): predicating these DMAs per lane on
+        # `stopped_vmem` (to skip stragglers' traffic) is a measured
+        # dead end — Mosaic does not honor pl.when around DMA
+        # start/wait (the "skipped" copy still executes; probed on
+        # device, see DECISIONS round-4 notes), and the attempt hung
+        # kernel compilation outright.  Fetches stay unconditional.
         def start(i, _):
             g = _group_base(nodes_vmem[i, 0], n_max)
             pltpu.make_async_copy(
@@ -361,6 +369,7 @@ def _gumbel_select_kernel(layout: PackedLayout, depth_limit: int,
     n_max = layout.n_nodes - 1
 
     def fetch_groups():
+        # unconditional per-lane fetches: see _select_kernel.fetch_groups
         def start(i, _):
             g = _group_base(nodes_vmem[i, 0], n_max)
             pltpu.make_async_copy(
@@ -532,9 +541,38 @@ def gumbel_select_walk(packed: jax.Array, root_actions: jax.Array,
 def _backup_kernel(layout: PackedLayout, mode: str,
                    packed_in, pnodes_ref, pacts_ref, plen_ref, values_ref,
                    expanding_ref, priors_ref, done_ref, slot_ref,
-                   packed_out, rows_vmem, hopnodes_vmem, sems):
+                   packed_out, rows_vmem, cbuf_vmem, hopnodes_vmem,
+                   rsems, wsems, csems):
+    """Triple-buffered path replay (round 4, ROADMAP #6).
+
+    The hop-``i`` read-modify-write is pipelined over THREE row buffers
+    (``rows_vmem`` is ``[3 * tile, GROUP, seg]``; buffer ``i % 3`` owns
+    hop ``i``): hop ``i+1``'s node reads are started BEFORE hop ``i``'s
+    compute (the path is precomputed, so the addresses need no
+    speculation), and hop ``i``'s write-back is only waited two hops
+    later, when its buffer is about to be reused.  Per iteration:
+
+      1. wait W[i-2]            (buffer (i+1) % 3 is about to be reused)
+      2. start R[i+1] there     (overlaps this hop's compute + write)
+      3. wait R[i]; compute; start W[i]   (W overlaps the next hop)
+
+    Safety: a lane's path nodes are DISTINCT tree nodes (it is a root-to-
+    leaf walk) and never include the freshly composed slot tile, and each
+    lane only ever touches its own ``lane0 + k`` row of ``packed`` — so
+    an in-flight W[i] can never race R[i+1]/R[i+2] on the same bytes.
+    Lanes whose path is shorter than the tile's longest replay their
+    surplus hops against the RESERVED park tile (node ``capacity - 1``,
+    never a slot — MCTSConfig.node_capacity) so those parked
+    read-modify-writes can never race the root's real hop-0 update.
+    Every DMA is UNCONDITIONAL — Mosaic does not reliably honor pl.when
+    around DMA start/wait (probed round 4; conditional variants
+    deadlocked) — so the pipeline's edges are squared off with two
+    dummy pre-started park writes (standing in for W[-2]/W[-1]) and one
+    drained read (R[max_len], staged off the -1 pad row backup_paths
+    appends, waited in the epilogue, data discarded).
+    """
     s = layout.seg
-    b = rows_vmem.shape[0]
+    b = cbuf_vmem.shape[0]
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
     iota_sub = jax.lax.broadcasted_iota(jnp.int32, (1, GROUP, 1), 1)
     sub_n = (iota_sub == SL_N).astype(jnp.float32)
@@ -578,7 +616,7 @@ def _backup_kernel(layout: PackedLayout, mode: str,
         def cstart(k, _):
             pltpu.make_async_copy(
                 packed_out.at[lane0 + k, pl.ds(sg, GROUP), :],
-                rows_vmem.at[k], sems.at[k],
+                cbuf_vmem.at[k], csems.at[k],
             ).start()
             return 0
         jax.lax.fori_loop(0, b, cstart, 0)
@@ -586,61 +624,128 @@ def _backup_kernel(layout: PackedLayout, mode: str,
         def cwait(k, _):
             pltpu.make_async_copy(
                 packed_out.at[lane0 + k, pl.ds(sg, GROUP), :],
-                rows_vmem.at[k], sems.at[k],
+                cbuf_vmem.at[k], csems.at[k],
             ).wait()
             return 0
         jax.lax.fori_loop(0, b, cwait, 0)
-        groups0 = rows_vmem[:]
+        groups0 = cbuf_vmem[:]
         keep = 1.0 - sub_p - sub_m
-        rows_vmem[:] = groups0 * keep + sub_p * pri3 + sub_m * meta3
+        cbuf_vmem[:] = groups0 * keep + sub_p * pri3 + sub_m * meta3
     else:
-        rows_vmem[:] = sub_p * pri3 + sub_c * (-1.0) + sub_m * meta3
+        cbuf_vmem[:] = sub_p * pri3 + sub_c * (-1.0) + sub_m * meta3
 
+    # slot write-back: started here, waited in the epilogue — the path
+    # replay below never touches the slot tile, so it can stay in flight
+    # under the whole loop
     def cwb_start(k, _):
         pltpu.make_async_copy(
-            rows_vmem.at[k], packed_out.at[lane0 + k, pl.ds(sg, GROUP), :],
-            sems.at[k],
+            cbuf_vmem.at[k], packed_out.at[lane0 + k, pl.ds(sg, GROUP), :],
+            csems.at[k],
         ).start()
         return 0
     jax.lax.fori_loop(0, b, cwb_start, 0)
 
-    def cwb_wait(k, _):
-        pltpu.make_async_copy(
-            rows_vmem.at[k], packed_out.at[lane0 + k, pl.ds(sg, GROUP), :],
-            sems.at[k],
-        ).wait()
-        return 0
-    jax.lax.fori_loop(0, b, cwb_wait, 0)
+    def park_base(node):
+        """Group base for a hop: real node, or the PARK tile when -1.
+
+        Lanes whose path is shorter than the tile's longest hold a -1 in
+        the path row (select writes -1 for non-recording lanes).  Their
+        surplus hops replay against the RESERVED park node ``n_max`` (=
+        ``node_capacity - 1``; never a slot, never linked — see
+        MCTSConfig.node_capacity): the read-modify-write of a tile
+        nothing else touches is harmless, whereas the old clamp-to-root
+        would RACE the root's real hop-0 update once reads are
+        prefetched.  (Predicating the DMAs off instead is not an option:
+        Mosaic does not honor pl.when around DMA start/wait — probed on
+        device, round 4.)
+        """
+        return _group_base(jnp.where(node < 0, n_max, node), n_max)
+
+    def stage_and_start_reads(i):
+        """Stage hop i's node column into buffer i%3 and start its reads.
+
+        Per-lane node indices live as a [B, 1] column per buffer: scalar
+        VMEM reads need a sublane index (dynamic lane offsets are not
+        addressable), so the DMA loops read hopnodes_vmem[base + k, 0].
+        """
+        buf = jnp.remainder(i, 3) * b
+        hop_nodes = jnp.reshape(pnodes_ref[pl.ds(i, 1), :], (b, 1))
+        hopnodes_vmem[pl.ds(buf, b), :] = hop_nodes
+
+        def start(k, _):
+            g = park_base(hopnodes_vmem[buf + k, 0])
+            pltpu.make_async_copy(
+                packed_out.at[lane0 + k, pl.ds(g, GROUP), :],
+                rows_vmem.at[buf + k], rsems.at[buf + k],
+            ).start()
+            return 0
+        jax.lax.fori_loop(0, b, start, 0)
+
+    # pipeline prologue — EVERY DMA in this kernel is unconditional
+    # (Mosaic does not reliably honor pl.when around DMA start/wait;
+    # conditional variants deadlocked on device).  Instead:
+    #   - hopnodes init to -1 = "park" so un-staged buffers address the
+    #     park tile;
+    #   - buffers 1 and 2 get DUMMY pre-started writes to the park tile
+    #     standing in for W[-2]/W[-1], so the loop's wait W[i-2] always
+    #     has a matching start;
+    #   - one -1 row is appended to the path array (see backup_paths) so
+    #     the loop's unconditional R[i+1] prefetch has a row to stage at
+    #     the last iteration; the drained read's data is never used.
+    hopnodes_vmem[:] = jnp.full_like(hopnodes_vmem, -1)
+    stage_and_start_reads(jnp.int32(0))
+
+    park_g = n_max * GROUP
+    def dummy_wstart(buf0):
+        def go(k, _):
+            pltpu.make_async_copy(
+                rows_vmem.at[buf0 + k],
+                packed_out.at[lane0 + k, pl.ds(park_g, GROUP), :],
+                wsems.at[buf0 + k],
+            ).start()
+            return 0
+        jax.lax.fori_loop(0, b, go, 0)
+    dummy_wstart(b)        # W[-2] on buffer 1
+    dummy_wstart(2 * b)    # W[-1] on buffer 2
+
+    def wait_writes_buf(buf):
+        """Wait the outstanding write-back on a buffer (addresses from
+        the hopnodes column that buffer's start used — park for
+        dummies/unstaged)."""
+        def wwait(k, _):
+            g = park_base(hopnodes_vmem[buf + k, 0])
+            pltpu.make_async_copy(
+                rows_vmem.at[buf + k],
+                packed_out.at[lane0 + k, pl.ds(g, GROUP), :],
+                wsems.at[buf + k],
+            ).wait()
+            return 0
+        jax.lax.fori_loop(0, b, wwait, 0)
 
     def cond(carry):
         return carry < max_len
 
     def body(i):
-        # stage this hop's per-lane node indices as a [B, 1] column: scalar
-        # VMEM reads need a static lane index (dynamic lane offsets are not
-        # addressable), so the DMA loops read hopnodes_vmem[k, 0]
-        hop_nodes = jnp.reshape(pnodes_ref[pl.ds(i, 1), :], (b, 1))
-        hopnodes_vmem[:] = jnp.maximum(hop_nodes, 0)
+        buf = jnp.remainder(i, 3) * b
 
-        def start(k, _):
-            g = _group_base(hopnodes_vmem[k, 0], n_max)
-            pltpu.make_async_copy(
-                packed_out.at[lane0 + k, pl.ds(g, GROUP), :], rows_vmem.at[k],
-                sems.at[k],
-            ).start()
-            return 0
-        jax.lax.fori_loop(0, b, start, 0)
+        # 1. the buffer hop i+1 needs is the one hop i-2 (or its dummy
+        # stand-in) wrote from
+        wait_writes_buf(jnp.remainder(i + 1, 3) * b)
 
-        def wait(k, _):
-            g = _group_base(hopnodes_vmem[k, 0], n_max)
+        # 2. prefetch hop i+1's tiles (overlaps this hop's compute+write)
+        stage_and_start_reads(i + 1)
+
+        # 3. wait this hop's reads
+        def rwait(k, _):
+            g = park_base(hopnodes_vmem[buf + k, 0])
             pltpu.make_async_copy(
-                packed_out.at[lane0 + k, pl.ds(g, GROUP), :], rows_vmem.at[k],
-                sems.at[k],
+                packed_out.at[lane0 + k, pl.ds(g, GROUP), :],
+                rows_vmem.at[buf + k], rsems.at[buf + k],
             ).wait()
             return 0
-        jax.lax.fori_loop(0, b, wait, 0)
+        jax.lax.fori_loop(0, b, rwait, 0)
 
-        groups = rows_vmem[:]   # [B, GROUP, seg]
+        groups = rows_vmem[pl.ds(buf, b)]   # [B, GROUP, seg]
         acts = jnp.reshape(pacts_ref[pl.ds(i, 1), :], (b, 1))
         active_f = (i < plen).astype(jnp.float32)       # [B, 1]
         # masks as f32 throughout: Mosaic cannot broadcast i1 vectors into
@@ -671,28 +776,49 @@ def _backup_kernel(layout: PackedLayout, mode: str,
                     .astype(jnp.float32))               # [B, 1]
         set_c = oh3 * sub_c * is_exp_f[:, :, None]
         new = jnp.where(set_c > 0.5, slot.astype(jnp.float32), new)
-        rows_vmem[:] = new
+        rows_vmem[pl.ds(buf, b)] = new
 
+        # 4. start this hop's write-backs; waited when the buffer is
+        # about to be reused (i+2's step 1) or in the epilogue
         def wstart(k, _):
-            g = _group_base(hopnodes_vmem[k, 0], n_max)
+            g = park_base(hopnodes_vmem[buf + k, 0])
             pltpu.make_async_copy(
-                rows_vmem.at[k], packed_out.at[lane0 + k, pl.ds(g, GROUP), :],
-                sems.at[k],
+                rows_vmem.at[buf + k],
+                packed_out.at[lane0 + k, pl.ds(g, GROUP), :],
+                wsems.at[buf + k],
             ).start()
             return 0
         jax.lax.fori_loop(0, b, wstart, 0)
-
-        def wwait(k, _):
-            g = _group_base(hopnodes_vmem[k, 0], n_max)
-            pltpu.make_async_copy(
-                rows_vmem.at[k], packed_out.at[lane0 + k, pl.ds(g, GROUP), :],
-                sems.at[k],
-            ).wait()
-            return 0
-        jax.lax.fori_loop(0, b, wwait, 0)
         return i + 1
 
     jax.lax.while_loop(cond, body, jnp.int32(0))
+
+    # epilogue: exactly three DMAs are still outstanding on the hop
+    # buffers — the drained read R[L] (buffer L%3; its data is unused)
+    # and the writes on the other two buffers (real W[L-1]/W[L-2] or
+    # their park-tile dummies when L < 2) — plus the slot-tile write
+    L = max_len
+    bufL = jnp.remainder(L, 3) * b
+
+    def drain_rwait(k, _):
+        g = park_base(hopnodes_vmem[bufL + k, 0])
+        pltpu.make_async_copy(
+            packed_out.at[lane0 + k, pl.ds(g, GROUP), :],
+            rows_vmem.at[bufL + k], rsems.at[bufL + k],
+        ).wait()
+        return 0
+    jax.lax.fori_loop(0, b, drain_rwait, 0)
+
+    wait_writes_buf(jnp.remainder(L - 2, 3) * b)
+    wait_writes_buf(jnp.remainder(L - 1, 3) * b)
+
+    def cwb_wait(k, _):
+        pltpu.make_async_copy(
+            cbuf_vmem.at[k], packed_out.at[lane0 + k, pl.ds(sg, GROUP), :],
+            csems.at[k],
+        ).wait()
+        return 0
+    jax.lax.fori_loop(0, b, cwb_wait, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("layout", "interpret", "mode"))
@@ -734,14 +860,19 @@ def backup_paths(packed: jax.Array, path_nodes: jax.Array,
         # illegal (-1) and are never consumed by the walk kernels
         signed_priors = jnp.pad(signed_priors, ((0, 0), (0, s - a)),
                                 constant_values=-1.0)
+    # one -1 ("park") row under the paths: the pipelined kernel's
+    # unconditional R[i+1] prefetch stages row max_len on the last
+    # iteration; -1 routes those reads to the reserved park tile
+    path_nodes = jnp.pad(path_nodes, ((0, 1), (0, 0)),
+                         constant_values=-1)
     kernel = functools.partial(_backup_kernel, layout, mode)
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),    # packed (aliased)
-            pl.BlockSpec((d, tile), lambda t: (0, t),
-                         memory_space=pltpu.VMEM),   # path nodes
+            pl.BlockSpec((d + 1, tile), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),   # path nodes (+park row)
             pl.BlockSpec((d, tile), lambda t: (0, t),
                          memory_space=pltpu.VMEM),   # path actions
             pl.BlockSpec((tile, 1), lambda t: (t, 0),
@@ -760,8 +891,13 @@ def backup_paths(packed: jax.Array, path_nodes: jax.Array,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         out_shape=jax.ShapeDtypeStruct(packed.shape, packed.dtype),
         scratch_shapes=[
+            # 3 pipeline row buffers + the slot-compose buffer; per-buffer
+            # read/write DMA semaphores (flattened [3 * tile])
+            pltpu.VMEM((3 * tile, GROUP, layout.seg), jnp.float32),
             pltpu.VMEM((tile, GROUP, layout.seg), jnp.float32),
-            pltpu.VMEM((tile, 1), jnp.int32),
+            pltpu.VMEM((3 * tile, 1), jnp.int32),
+            pltpu.SemaphoreType.DMA((3 * tile,)),
+            pltpu.SemaphoreType.DMA((3 * tile,)),
             pltpu.SemaphoreType.DMA((tile,)),
         ],
         input_output_aliases={0: 0},

@@ -175,15 +175,22 @@ class MCTSConfig:
     @property
     def node_capacity(self) -> int:
         # with reuse, slots [0, reuse_budget) hold the compacted carry-over
-        # subtree and fresh simulations allocate from reuse_budget upward
-        floor = self.n_simulations + 1 + self.reuse_budget
+        # subtree and fresh simulations allocate from reuse_budget upward.
+        # +2 (round 4): one slot beyond the last simulation's is RESERVED
+        # as the packed backup kernel's "park" tile — lanes whose path is
+        # shorter than the tile's longest replay their surplus hops
+        # against it (reads/writes of a tile nothing else ever touches),
+        # which is what makes the kernel's triple-buffered DMA pipeline
+        # race-free without per-lane DMA predication (which Mosaic does
+        # not honor).  See ops/tree_kernels._backup_kernel.
+        floor = self.n_simulations + 2 + self.reuse_budget
         cap = self.max_nodes or floor
         if cap < floor:
-            # every simulation burns one slot; a smaller capacity would make
-            # slot indices run off the node arrays (silent clamped-scatter
-            # corruption), so reject it outright
+            # every simulation burns one slot (+ the park tile); a smaller
+            # capacity would make slot indices run off the node arrays
+            # (silent clamped-scatter corruption), so reject it outright
             raise ValueError(
-                f"max_nodes={cap} < n_simulations+1+reuse_budget={floor}"
+                f"max_nodes={cap} < n_simulations+2+reuse_budget={floor}"
             )
         return cap
 

@@ -1,0 +1,56 @@
+#!/bin/bash
+# run-16 (round 4): Gomoku generation-2 re-run — judge round-3 item #2.
+#
+# run-15 established the recipe is sound (iter-200 at parity puct@400,
+# BETTER at low budgets, trajectory ascending) but its artifacts died
+# uncommitted in a VM reboot, twice.  This is the same gen-2 recipe
+# restarted from the committed checkpoints/best_gomoku.ckpt with a
+# fresh buffer, PLUS:
+#   - the round-3 anchor fix: anchor arena at the PROMOTION config
+#     (f32 puct@400), not the training config (gumbel@64) that hid
+#     run-15's recovery;
+#   - artifact discipline: runs/run16_commit_loop.sh snapshots the
+#     newest checkpoint + history + buffer manifest into the TRACKED
+#     runs_tracked/run16/ dir and commits hourly — /runs/ is gitignored
+#     and does not survive reboots (TRAINING_GUIDE case study 7h).
+#
+# Keepalive pattern: relaunch on segment death (axon tunnel resets);
+# pid files for external stop/harvest.  Probe the device first — a
+# backend-init failure right after boot is transient.
+cd /root/repo
+export PYTHONPATH=/root/repo:$PYTHONPATH
+export JAX_COMPILATION_CACHE_DIR=/root/jax_cache
+
+ANCHOR=checkpoints/best_gomoku.ckpt
+DIR=runs/models_run16
+echo $$ > /tmp/run16_keepalive.pid
+while true; do
+  python -c "import jax; jax.devices()" >/dev/null 2>&1 || { sleep 60; continue; }
+  SNAP=$(ls $DIR/snapshot_iter*.ckpt 2>/dev/null | sort -V | tail -1)
+  ITER=$(echo "$SNAP" | grep -oE "iter[0-9]+" | grep -oE "[0-9]+")
+  : "${ITER:=0}"
+  ARGS=(--pretrained-model-path "$ANCHOR")
+  [ -n "$SNAP" ] && ARGS=(--pretrained-model-path $DIR/best_latest.ckpt --candidate-model-path "$SNAP" --next-iteration-continuation $((ITER + 1)))
+  python train.py \
+    --board-size 15 --game gomoku \
+    --num-iterations 200 --games-per-iteration 128 --n-simulations 64 \
+    --mcts-search gumbel --gumbel-max-considered 16 --mcts-reuse-budget 48 \
+    --n-res-blocks 6 --channels 128 --mcts-backend pallas --mcts-max-depth 56 \
+    --inference int8 \
+    --buffer-size 160000 --batch-size 128 --epochs-per-iter 1 \
+    --eval-games 64 --eval-mcts-simulations 384 --eval-every 2 \
+    --win-rate-threshold 0.55 --gate-mode track \
+    --anchor-arena-every 10 --anchor-model-path "$ANCHOR" \
+    --anchor-search puct --anchor-mcts-simulations 400 \
+    --value-target-mix 0.25 --opening-random-moves 6 \
+    --save-every 10 --buffer-save-every 20 --model-dir $DIR \
+    --seed $((ITER + 4100)) \
+    "${ARGS[@]}" >> runs/run16.log 2>&1 &
+  echo $! > /tmp/run16.pid
+  wait $(cat /tmp/run16.pid)
+  echo "[keepalive] segment ended at $(date -u)" >> runs/run16.log
+  LAST=$(ls $DIR/snapshot_iter*.ckpt 2>/dev/null | sort -V | tail -1 | grep -oE "iter[0-9]+" | grep -oE "[0-9]+")
+  [ "${LAST:-0}" -ge 200 ] && break
+  sleep 60
+done
+echo "[keepalive] run complete at $(date -u)" >> runs/run16.log
