@@ -180,6 +180,17 @@ class App:
                                160, 50), "Start", ("start", None)))
         return buttons
 
+    def _replay_buttons(self):
+        """On-screen scrubber controls (reference interface.py:317-324):
+        "<" / ">" step the replay like the arrow keys, "live" returns to
+        the head.  Drawn in the panel during play AND after game over, so
+        a finished game can be reviewed before the rematch click."""
+        px = board_pixel_size(self.size)
+        y = px + 70
+        return [Button((px - 150, y, 40, 34), "<", ("replay", -1)),
+                Button((px - 104, y, 40, 34), ">", ("replay", +1)),
+                Button((px - 58, y, 48, 34), "live", ("replay", None))]
+
     def _make_player(self, name: str):
         if name == "human":
             return HumanGUIPlayer(self.game_name, self.size)
@@ -249,6 +260,10 @@ class App:
                     else:
                         self.selected[kind] = val
         elif self.state == "playing":
+            for b in self._replay_buttons():
+                if b.hit(pos):
+                    self._step_replay(b.value[1])
+                    return
             if self.game.is_game_over():
                 self.start_game()  # rematch on click
                 return
@@ -257,18 +272,27 @@ class App:
             if move is not None and isinstance(player, HumanGUIPlayer):
                 player.set_click(move)
 
-    def _key(self, key):
-        """Replay scrubber: left/right step, escape returns to live."""
+    def _step_replay(self, delta: Optional[int]):
+        """Scrub by ``delta`` plies; ``None`` returns to the live head."""
         n = len(self.game.move_history)
-        if key == pygame.K_LEFT:
+        if delta is None:
+            self.replay_pos = None
+        elif delta < 0:
             cur = n if self.replay_pos is None else self.replay_pos
-            self.replay_pos = max(0, cur - 1)
-        elif key == pygame.K_RIGHT and self.replay_pos is not None:
-            self.replay_pos = min(n, self.replay_pos + 1)
+            self.replay_pos = max(0, cur + delta)
+        elif self.replay_pos is not None:
+            self.replay_pos = min(n, self.replay_pos + delta)
             if self.replay_pos == n:
                 self.replay_pos = None
+
+    def _key(self, key):
+        """Replay scrubber: left/right step, escape returns to live."""
+        if key == pygame.K_LEFT:
+            self._step_replay(-1)
+        elif key == pygame.K_RIGHT:
+            self._step_replay(+1)
         elif key == pygame.K_ESCAPE:
-            self.replay_pos = None
+            self._step_replay(None)
 
     def _playing_frame(self, mouse):
         game = self.game
@@ -280,16 +304,23 @@ class App:
         draw_board(self.screen, game, self.font, ghost, self.replay_pos)
 
         px = board_pixel_size(self.size)
+        for b in self._replay_buttons():
+            b.draw(self.screen, self.font, b.hit(mouse))
         if game.is_game_over():
             winner = game.get_winner()
             msg = "Draw" if winner == 0 else f"Player {winner} wins!"
             overlay = self.big.render(msg + "  (click for rematch)", True, TEXT)
             self.screen.blit(overlay, (MARGIN, px + 40))
+            if self.replay_pos is not None:
+                note = self.font.render(
+                    f"replay {self.replay_pos}/{len(game.move_history)}",
+                    True, TEXT)
+                self.screen.blit(note, (MARGIN, px + 70))
             return
         if self.replay_pos is not None:
             note = self.font.render(
                 f"replay {self.replay_pos}/{len(game.move_history)} "
-                "(← → to scrub, esc = live)", True, TEXT)
+                "(< > to scrub, live/esc = resume)", True, TEXT)
             self.screen.blit(note, (MARGIN, px + 40))
             return
 

@@ -65,7 +65,7 @@ def run_bench(batch_games: int = 256, n_simulations: int = 400,
               gumbel_parallel: bool = False,
               vs_baseline: float = BASELINE_MOVES_PER_SEC,
               trace_dir: str = None, repeats: int = 3,
-              int8_skip: str = "bf16") -> dict:
+              int8_skip: str = "f32") -> dict:
     """Lockstep self-play throughput (configs #2/#3/#4 shapes).
 
     ``infer`` picks the search-time forward: "f32" exact apply (default —

@@ -82,6 +82,40 @@ def test_headless_board_rendering(tmp_path, monkeypatch):
     pygame.quit()
 
 
+def test_onscreen_replay_buttons(tmp_path, monkeypatch):
+    """Clicking the panel "<" / ">" / "live" buttons scrubs the replay
+    (reference interface.py:317-324 parity: on-screen controls, not just
+    arrow keys)."""
+    pygame = pytest.importorskip("pygame")
+    monkeypatch.chdir(tmp_path)
+    from alphazero_gomoku_tpu.gui.interface import App
+
+    pygame.init()
+    app = App(size=9)
+    app.game_name = "gomoku"
+    app.selected = {1: "human", 2: "human"}
+    app.start_game()
+    for mv in [(4, 4), (4, 5), (5, 5)]:
+        app.game.do_move(mv)
+
+    back, fwd, live = app._replay_buttons()
+    assert app.replay_pos is None
+    app._click(back.rect.center)
+    assert app.replay_pos == 2
+    app._click(back.rect.center)
+    assert app.replay_pos == 1
+    app._click(fwd.rect.center)
+    assert app.replay_pos == 2
+    app._click(fwd.rect.center)      # stepping past the head goes live
+    assert app.replay_pos is None
+    app._click(back.rect.center)
+    app._click(live.rect.center)
+    assert app.replay_pos is None
+    # a replay-button click must never place a stone or trigger a rematch
+    assert len(app.game.move_history) == 3
+    pygame.quit()
+
+
 def test_engine_bot_vs_bot_with_mirror_logs(tmp_path, monkeypatch):
     """Engine writes every accepted move to mirror_log.txt (no subprocess)."""
     monkeypatch.chdir(tmp_path)
