@@ -162,6 +162,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="host:port of process 0 (non-TPU-pod multi-host)")
     ap.add_argument("--num-processes", type=int, default=None)
     ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument("--replay-sharding", default="replicated",
+                    choices=["replicated", "per_host"],
+                    help="multi-process replay placement: 'replicated' "
+                         "all-gathers every host's games into full-replica "
+                         "buffers (reference-equivalent sampling); "
+                         "'per_host' keeps each host's own games only and "
+                         "splits --buffer-size across hosts — scale-out "
+                         "once buffers outgrow one host's RAM")
     ap.add_argument("--pente-capture-planes", action="store_true",
                     help="append 2 captured-pair observation planes (Pente "
                          "only; trains a 5-input-channel net)")
@@ -227,6 +235,7 @@ def main(argv=None):
         value_target_mix=args.value_target_mix,
         opening_random_moves=args.opening_random_moves,
         selfplay_max_moves=args.selfplay_max_moves,
+        replay_sharding=args.replay_sharding,
         pcr_cheap_sims=args.pcr_cheap_sims,
         pcr_full_prob=args.pcr_full_prob,
         use_fused_inference=args.use_fused_inference,

@@ -1,7 +1,10 @@
 """Device-mesh parallelism: sharded self-play and psum-gradient training."""
 
 from alphazero_gomoku_tpu.parallel.mesh import (  # noqa: F401
+    form_global_batches,
     gather_trajectories,
+    global_buffer_len,
+    local_trajectory_shards,
     make_mesh,
     make_sharded_arena,
     make_sharded_gather_epoch,

@@ -282,3 +282,80 @@ def make_sharded_train_epoch(net_cfg, tx, mesh: Mesh, axis: str = "data",
         return params, batch_stats, opt_state, last
 
     return epoch_fn
+
+
+# ----------------------------------------------------------------------
+# per-host sharded replay (ROADMAP #7, round 4)
+# ----------------------------------------------------------------------
+def local_trajectory_shards(traj):
+    """Extract THIS process's game shard of a sharded trajectory pytree.
+
+    The per-host replay path (``train_alphazero(replay_sharding=
+    "per_host")``): instead of all-gathering every host's games so each
+    host can hold a full-replica buffer (:func:`gather_trajectories` —
+    the reference-equivalent semantics, ``/root/reference/train.py:
+    737-742``), each process keeps only the games its own devices
+    played.  Game lanes shard on axis 0 of every trajectory leaf, so a
+    whole game lives on one device and the local shard is
+    self-contained; the result is a host-numpy pytree with the same
+    structure and ``games_per_iteration / process_count`` lanes.  No
+    cross-host communication happens at all — this trades the DCN
+    all-gather and the full-replica host RAM for per-host-uniform
+    (instead of globally-uniform) replay sampling, the standard
+    distributed-replay tradeoff.
+    """
+    def extract(x):
+        if not hasattr(x, "addressable_shards") or x.ndim == 0:
+            return np.asarray(x)
+        # the game-lane axis is wherever the spec carries the mesh axis:
+        # per-game leaves are [B, ...] = P('data', ...), per-move leaves
+        # are [T, B, ...] = P(None, 'data', ...)
+        spec = getattr(x.sharding, "spec", None)
+        axis = None
+        if spec is not None:
+            for d, p in enumerate(spec):
+                if p is not None:
+                    axis = d
+                    break
+        if axis is None:  # replicated (or single-device) leaf
+            return np.asarray(x)
+        uniq = {}
+        for s in x.addressable_shards:
+            start = s.index[axis].start or 0
+            uniq.setdefault(int(start), s.data)
+        return np.concatenate(
+            [np.asarray(uniq[k]) for k in sorted(uniq)], axis=axis)
+
+    return jax.tree_util.tree_map(extract, traj)
+
+
+def form_global_batches(mesh: Mesh, xs, pis, zs, axis: str = "data"):
+    """Assemble per-process minibatch samples into global sharded arrays.
+
+    Each process passes ITS locally sampled ``[n_batches,
+    batch/process_count, ...]`` arrays; the result is a global
+    ``[n_batches, batch, ...]`` jax.Array sharded on the per-step batch
+    axis, ready for :func:`make_sharded_train_epoch` — the per-host
+    replay path's train-input pipeline.  On a single-host mesh this is
+    just a local device_put with the batch sharding.
+    """
+    sh = NamedSharding(mesh, P(None, axis))
+    return tuple(
+        jax.make_array_from_process_local_data(sh, np.asarray(a))
+        for a in (xs, pis, zs))
+
+
+def global_buffer_len(local_len: int) -> int:
+    """Sum of every process's local replay-buffer length.
+
+    Keeps collective-issuing control flow (train-phase gating, steps per
+    epoch) consistent across hosts in the per-host replay mode — hosts
+    whose games ran longer hold more samples, and diverging on
+    ``len(buffer)`` would deadlock the sharded epoch.
+    """
+    if jax.process_count() == 1:
+        return local_len
+    from jax.experimental import multihost_utils
+
+    return int(np.sum(multihost_utils.process_allgather(
+        np.int64(local_len))))

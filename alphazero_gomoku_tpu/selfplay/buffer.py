@@ -143,9 +143,16 @@ class ReplayBuffer:
 
     def sample(self, batch_size: int, rng: Optional[np.random.Generator] = None
                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Uniform sample without replacement (reference ``random.sample``)."""
+        """Uniform sample without replacement (reference ``random.sample``).
+
+        Falls back to sampling WITH replacement when the buffer holds
+        fewer than ``batch_size`` samples — the per-host replay path can
+        legitimately ask a short local shard for its share of a global
+        batch whose global gate already passed.
+        """
         rng = rng or np.random.default_rng()
-        idx = rng.choice(self._size, size=batch_size, replace=False)
+        idx = rng.choice(self._size, size=batch_size,
+                         replace=self._size < batch_size)
         return (
             decode_states_f32(self.states[idx], self.inv_scales),
             self.pis[idx],

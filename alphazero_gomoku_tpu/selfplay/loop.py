@@ -287,6 +287,14 @@ def train_alphazero(
     # explicit jax.sharding.Mesh to control it, or None to force
     # single-device execution
     mesh="auto",
+    # replay placement across HOSTS (multi-process runs only):
+    # "replicated" (default) all-gathers every host's games so each host
+    # holds a full-replica buffer — reference-equivalent globally-uniform
+    # sampling; "per_host" keeps each process's own games only (no
+    # trajectory all-gather, buffer_size is split across hosts) and forms
+    # each global training batch from per-host samples — the standard
+    # distributed-replay scale-out once buffers outgrow one host's RAM
+    replay_sharding: str = "replicated",
     use_fused_inference: bool = False,
     # search-time network forward: "f32" = the exact eval-mode apply();
     # "bf16" = folded-BN bfloat16 XLA forward (ops/fused_net.py:
@@ -380,6 +388,26 @@ def train_alphazero(
         else:
             log("[anchor] anchoring to the starting weights")
             model_anchor.copy_weights_from(model_best)
+
+    if replay_sharding not in ("replicated", "per_host"):
+        raise ValueError(
+            f"unknown replay_sharding: {replay_sharding!r} "
+            "(expected 'replicated' or 'per_host')")
+    per_host_replay = replay_sharding == "per_host"
+    n_procs = jax.process_count()
+    if per_host_replay:
+        if mesh is None:
+            raise ValueError("replay_sharding='per_host' requires a device "
+                             "mesh (it is a multi-host scale-out mode)")
+        if batch_size % max(n_procs, mesh.devices.size):
+            raise ValueError(
+                f"replay_sharding='per_host' needs batch_size "
+                f"({batch_size}) divisible by both process_count "
+                f"({n_procs}) and mesh devices ({mesh.devices.size})")
+        # buffer_size keeps its GLOBAL meaning: each host owns a slice
+        buffer_size = max(batch_size // n_procs, buffer_size // n_procs)
+        log(f"[replay] per-host sharded: {n_procs} process(es) x "
+            f"{buffer_size} samples, no trajectory all-gather")
 
     buffer_path = os.path.join(model_dir, "replay_buffer_latest.npz")
     plane_scales = getattr(env, "obs_plane_scales", None)
@@ -550,6 +578,7 @@ def train_alphazero(
     else:
         raise ValueError(f"unknown selfplay_mode: {selfplay_mode!r}")
     sharded_gather_fn = None
+    per_host_epoch_fn = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
         from alphazero_gomoku_tpu.parallel import (
@@ -559,7 +588,19 @@ def train_alphazero(
         anchor_half_fn = (
             arena_half_fn if anchor_cfg == arena_cfg
             else make_sharded_arena(env, anchor_cfg, eval_fn, mesh))
-        if batch_size % mesh.devices.size == 0:
+        if per_host_replay:
+            # per-host replay: no device ring mirror (each host ships its
+            # LOCAL batch samples per epoch; the global batch is formed
+            # with jax.make_array_from_process_local_data and sharded on
+            # the batch axis — parallel/mesh.py form_global_batches)
+            from alphazero_gomoku_tpu.parallel import (
+                make_sharded_train_epoch,
+            )
+            per_host_epoch_fn = make_sharded_train_epoch(
+                model_candidate.cfg, model_candidate.tx, mesh,
+                value_loss_weight=value_loss_weight,
+            )
+        elif batch_size % mesh.devices.size == 0:
             # device-resident ring + sharded gather epoch: replay arrays
             # stay replicated in HBM; only the [steps, batch] index array
             # is shipped and sharded per iteration
@@ -620,7 +661,14 @@ def train_alphazero(
         with timer.phase("selfplay"), trace_annotation("selfplay"):
             traj = selfplay_jit(bundle_cand,
                                 jax.random.PRNGKey(seed * 100003 + it))
-            if mesh is not None:
+            if mesh is not None and per_host_replay:
+                # per-host replay: each process keeps only the games its
+                # own devices played — no cross-host communication at all
+                from alphazero_gomoku_tpu.parallel import (
+                    local_trajectory_shards,
+                )
+                traj = local_trajectory_shards(traj)
+            elif mesh is not None:
                 # multi-host collection: all-gather the trajectory shards
                 # (lockstep Trajectories or ContinuousRecords alike) so
                 # every process can run host-side collection (on one host
@@ -674,14 +722,43 @@ def train_alphazero(
         # ---- phase 2: train ------------------------------------------
         loss_info = None
         with timer.phase("train"), trace_annotation("train"):
-            if len(buffer) >= batch_size:
-                n_batches = max(1, len(buffer) // batch_size)
-                log(f"training candidate: buffer={len(buffer)}, "
-                    f"batch={batch_size}, epochs={epochs_per_iter}, "
+            if per_host_epoch_fn is not None:
+                # gate + steps/epoch from the GLOBAL sample count: hosts
+                # hold different-length shards, and diverging on control
+                # flow that issues collectives would deadlock the epoch
+                from alphazero_gomoku_tpu.parallel import global_buffer_len
+                effective_len = global_buffer_len(len(buffer))
+            else:
+                effective_len = len(buffer)
+            if effective_len >= batch_size:
+                n_batches = max(1, effective_len // batch_size)
+                log(f"training candidate: buffer={len(buffer)}"
+                    + (f" local / {effective_len} global"
+                       if per_host_epoch_fn is not None else "")
+                    + f", batch={batch_size}, epochs={epochs_per_iter}, "
                     f"steps/epoch={n_batches}")
                 for epoch in range(epochs_per_iter):
                     t1 = time.time()
-                    if sharded_gather_fn is not None:
+                    if per_host_epoch_fn is not None:
+                        # per-host replay: sample this host's share of
+                        # every step's batch locally, assemble the global
+                        # sharded batch arrays, run the data-parallel
+                        # epoch (XLA all-reduces the gradients)
+                        from alphazero_gomoku_tpu.parallel import (
+                            form_global_batches,
+                        )
+                        local_bs = batch_size // n_procs
+                        xs, ps, zb = buffer.sample_many(n_batches,
+                                                        local_bs, rng_np)
+                        gx, gp, gz = form_global_batches(mesh, xs, ps, zb)
+                        (model_candidate.params,
+                         model_candidate.batch_stats,
+                         model_candidate.opt_state,
+                         metrics) = per_host_epoch_fn(
+                            model_candidate.params,
+                            model_candidate.batch_stats,
+                            model_candidate.opt_state, gx, gp, gz)
+                    elif sharded_gather_fn is not None:
                         # mesh path: replicated device ring + sharded
                         # per-step batch gather; only idx crosses the link
                         idx = np.stack([
@@ -736,7 +813,7 @@ def train_alphazero(
                     log(f"  epoch {epoch + 1}/{epochs_per_iter}: "
                         f"{time.time() - t1:.1f}s, last_loss={loss_info}")
             else:
-                log(f"not enough samples (buffer={len(buffer)} < "
+                log(f"not enough samples (buffer={effective_len} < "
                     f"{batch_size}); skipping training this iteration")
 
         # ---- phase 3: arena ------------------------------------------

@@ -31,6 +31,7 @@ REPO = Path(__file__).resolve().parent.parent
 WORKER = r"""
 import json, sys
 pid, port, outdir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+replay = sys.argv[4] if len(sys.argv) > 4 else "replicated"
 import jax
 jax.distributed.initialize(coordinator_address=f"localhost:{port}",
                            num_processes=2, process_id=pid)
@@ -43,7 +44,7 @@ hist = train_alphazero(
     batch_size=16, epochs_per_iter=1, temp_threshold=4,
     eval_games=8, eval_mcts_simulations=8,
     n_res_blocks=1, channels=8, model_dir=f"{outdir}/proc{pid}",
-    seed=3, verbose=False, mesh="auto",
+    seed=3, verbose=False, mesh="auto", replay_sharding=replay,
 )
 it = hist[0]
 with open(f"{outdir}/result_{pid}.json", "w") as f:
@@ -61,8 +62,7 @@ def _free_port():
     return port
 
 
-@pytest.mark.slow
-def test_two_process_training_loop(tmp_path):
+def _run_two_process(tmp_path, replay="replicated"):
     port = _free_port()
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
@@ -77,7 +77,7 @@ def test_two_process_training_loop(tmp_path):
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), str(pid), str(port),
-             str(tmp_path)],
+             str(tmp_path), replay],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True)
         for pid in (0, 1)
@@ -86,9 +86,13 @@ def test_two_process_training_loop(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
         assert f"WORKER_OK {pid}" in out
+    return (json.loads((tmp_path / "result_0.json").read_text()),
+            json.loads((tmp_path / "result_1.json").read_text()))
 
-    r0 = json.loads((tmp_path / "result_0.json").read_text())
-    r1 = json.loads((tmp_path / "result_1.json").read_text())
+
+@pytest.mark.slow
+def test_two_process_training_loop(tmp_path):
+    r0, r1 = _run_two_process(tmp_path)
     assert r0 == r1, f"process results diverged: {r0} vs {r1}"
     assert r0["moves"] > 0 and r0["buffer"] > 0
 
@@ -98,3 +102,21 @@ def test_two_process_training_loop(tmp_path):
     assert (tmp_path / "proc0" / "replay_buffer_latest.npz").exists()
     assert not (tmp_path / "proc1" / "best_latest.ckpt").exists()
     assert not (tmp_path / "proc1" / "replay_buffer_latest.npz").exists()
+
+
+@pytest.mark.slow
+def test_two_process_per_host_replay(tmp_path):
+    """replay_sharding='per_host': no trajectory all-gather — each host
+    collects only its own devices' games (so the per-host buffers are
+    strictly smaller than the global sample count and buffer_size is
+    split), while the REPLICATED training state stays bit-identical
+    across processes (losses and win rates must agree exactly; each
+    host's gradient contribution rides the psum)."""
+    r0, r1 = _run_two_process(tmp_path, replay="per_host")
+    assert r0["loss"] == r1["loss"], (r0, r1)
+    assert r0["win_rate"] == r1["win_rate"], (r0, r1)
+    # self-play move counts are per-host shards; both hosts played
+    assert r0["moves"] > 0 and r1["moves"] > 0
+    # each buffer holds only a local share (4 of 8 games' samples) and
+    # is capped at buffer_size / process_count = 256
+    assert 0 < r0["buffer"] <= 256 and 0 < r1["buffer"] <= 256

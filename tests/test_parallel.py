@@ -176,3 +176,69 @@ def test_sharded_selfplay_continuous_runs_and_shards():
     states, pis, zs, stats = collect_examples_continuous(
         gather_trajectories(rec, mesh), use_symmetries=False)
     assert len(states) == len(pis) == len(zs)
+
+
+def test_local_trajectory_shards_single_host_identity():
+    """On one process, the per-host extraction returns the full batch
+    (every device shard is addressable) with the pytree structure kept."""
+    from alphazero_gomoku_tpu.parallel import (
+        local_trajectory_shards, make_sharded_selfplay,
+    )
+
+    env = GomokuEnv(SIZE)
+    mesh = make_mesh()
+    cfg = SelfPlayConfig(
+        batch_games=8, temp_threshold=2, max_moves=6,
+        mcts=MCTSConfig(n_simulations=8, add_noise=False),
+    )
+    traj = make_sharded_selfplay(env, cfg, fake_eval_jax, mesh)(
+        None, jax.random.PRNGKey(0))
+    local = local_trajectory_shards(traj)
+    assert type(local) is type(traj)
+    ref = jax.tree_util.tree_map(np.asarray, traj)
+    for a, b in zip(jax.tree_util.tree_leaves(local),
+                    jax.tree_util.tree_leaves(ref)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_form_global_batches_sharding():
+    from alphazero_gomoku_tpu.parallel import form_global_batches
+
+    mesh = make_mesh()
+    xs = np.arange(2 * 16 * 3, dtype=np.float32).reshape(2, 16, 3)
+    ps = np.ones((2, 16, 5), np.float32)
+    zs = np.zeros((2, 16, 1), np.float32)
+    gx, gp, gz = form_global_batches(mesh, xs, ps, zs)
+    assert gx.shape == (2, 16, 3)
+    # sharded on the per-step batch axis across the 8 devices
+    assert len(gx.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(gx), xs)
+
+
+def test_train_loop_per_host_replay_end_to_end(tmp_path):
+    """replay_sharding='per_host' on a single-host mesh: the loop trains
+    through the form_global_batches -> sharded-epoch path and produces a
+    finite loss (multi-process coverage: tests/test_multiprocess.py)."""
+    from alphazero_gomoku_tpu.selfplay import train_alphazero
+
+    hist = train_alphazero(
+        game_name="gomoku", board_size=SIZE, num_iterations=1,
+        games_per_iteration=8, n_simulations=8, buffer_size=4000,
+        batch_size=64, epochs_per_iter=1, temp_threshold=4,
+        eval_games=2, eval_mcts_simulations=8, n_res_blocks=1, channels=8,
+        model_dir=str(tmp_path / "m"), seed=0, verbose=False,
+        mesh="auto", replay_sharding="per_host",
+    )
+    assert hist[0]["moves"] > 0
+    assert hist[0]["loss"] is not None
+    assert all(np.isfinite(v) for v in hist[0]["loss"].values())
+
+
+def test_per_host_replay_requires_mesh():
+    from alphazero_gomoku_tpu.selfplay import train_alphazero
+
+    with pytest.raises(ValueError, match="per_host"):
+        train_alphazero(
+            game_name="gomoku", board_size=SIZE, num_iterations=1,
+            games_per_iteration=2, n_simulations=4, mesh=None,
+            replay_sharding="per_host", verbose=False)
