@@ -51,12 +51,14 @@ def compare(env, cfg, eval_fn, bundle, states, move_no, key):
 
     moves = jnp.full((states.done.shape[0],), move_no, jnp.int32)
     t0 = time.time()
+    print("  [xla] compile+run...", flush=True)
     pi_x, q_x = jax.jit(
         lambda s, k: run_mcts_with_q(env, cfg, eval_fn, bundle, s, moves, k)
     )(states, key)
     pi_x, q_x = np.asarray(pi_x), np.asarray(q_x)
     t_x = time.time() - t0
     t0 = time.time()
+    print(f"  [xla] done {t_x:.1f}s; [packed] compile+run...", flush=True)
     pi_p, q_p = jax.jit(
         lambda s, k: run_mcts_packed(env, cfg, eval_fn, bundle, s, moves, k)
     )(states, key)
