@@ -568,8 +568,12 @@ def _backup_kernel(layout: PackedLayout, mode: str,
     around DMA start/wait (probed round 4; conditional variants
     deadlocked) — so the pipeline's edges are squared off with two
     dummy pre-started park writes (standing in for W[-2]/W[-1]) and one
-    drained read (R[max_len], staged off the -1 pad row backup_paths
-    appends, waited in the epilogue, data discarded).
+    drained read (R[L_pad], staged off a -1 pad row backup_paths
+    appends, waited in the epilogue, data discarded).  The loop is
+    UNROLLED x3 (hop count padded to L_pad = ceil(max_len / 3) * 3 with
+    harmless park hops) so every buffer offset is a Python constant:
+    Mosaic cannot lower VMEM loads at traced offsets ("Too many leaves
+    for PyTreeDef", device-probed round 4).
     """
     s = layout.seg
     b = cbuf_vmem.shape[0]
@@ -661,14 +665,19 @@ def _backup_kernel(layout: PackedLayout, mode: str,
         """
         return _group_base(jnp.where(node < 0, n_max, node), n_max)
 
-    def stage_and_start_reads(i):
-        """Stage hop i's node column into buffer i%3 and start its reads.
+    def stage_and_start_reads(i, c):
+        """Stage hop i's node column into buffer ``c`` (i % 3, passed as a
+        PYTHON int) and start its reads.
 
         Per-lane node indices live as a [B, 1] column per buffer: scalar
         VMEM reads need a sublane index (dynamic lane offsets are not
         addressable), so the DMA loops read hopnodes_vmem[base + k, 0].
+        The buffer base ``c * b`` must be STATIC: Mosaic cannot lower
+        VMEM loads at a traced offset ("Too many leaves for PyTreeDef"
+        in the load lowering rule, device-probed round 4) — hence the
+        3-unrolled loop below instead of a ``(i % 3) * b`` rotation.
         """
-        buf = jnp.remainder(i, 3) * b
+        buf = c * b
         hop_nodes = jnp.reshape(pnodes_ref[pl.ds(i, 1), :], (b, 1))
         hopnodes_vmem[pl.ds(buf, b), :] = hop_nodes
 
@@ -692,8 +701,12 @@ def _backup_kernel(layout: PackedLayout, mode: str,
     #   - one -1 row is appended to the path array (see backup_paths) so
     #     the loop's unconditional R[i+1] prefetch has a row to stage at
     #     the last iteration; the drained read's data is never used.
+    # NB: the prologue stages row 0 with a PYTHON-int index — a jnp
+    # constant scalar as a pl.ds start fails Mosaic lowering outright
+    # ("Too many leaves for PyTreeDef"; probed round 4), while loop-
+    # carried tracers and Python ints both lower fine
     hopnodes_vmem[:] = jnp.full_like(hopnodes_vmem, -1)
-    stage_and_start_reads(jnp.int32(0))
+    stage_and_start_reads(0, 0)
 
     park_g = n_max * GROUP
     def dummy_wstart(buf0):
@@ -708,10 +721,12 @@ def _backup_kernel(layout: PackedLayout, mode: str,
     dummy_wstart(b)        # W[-2] on buffer 1
     dummy_wstart(2 * b)    # W[-1] on buffer 2
 
-    def wait_writes_buf(buf):
-        """Wait the outstanding write-back on a buffer (addresses from
-        the hopnodes column that buffer's start used — park for
-        dummies/unstaged)."""
+    def wait_writes_buf(c):
+        """Wait the outstanding write-back on buffer ``c`` (a PYTHON int;
+        addresses from the hopnodes column that buffer's start used —
+        park for dummies/unstaged)."""
+        buf = c * b
+
         def wwait(k, _):
             g = park_base(hopnodes_vmem[buf + k, 0])
             pltpu.make_async_copy(
@@ -722,18 +737,17 @@ def _backup_kernel(layout: PackedLayout, mode: str,
             return 0
         jax.lax.fori_loop(0, b, wwait, 0)
 
-    def cond(carry):
-        return carry < max_len
-
-    def body(i):
-        buf = jnp.remainder(i, 3) * b
+    def hop(i, c):
+        """One pipelined hop: i is the traced hop number, c == i % 3 as a
+        PYTHON int (static buffer selector — see stage_and_start_reads)."""
+        buf = c * b
 
         # 1. the buffer hop i+1 needs is the one hop i-2 (or its dummy
         # stand-in) wrote from
-        wait_writes_buf(jnp.remainder(i + 1, 3) * b)
+        wait_writes_buf((c + 1) % 3)
 
         # 2. prefetch hop i+1's tiles (overlaps this hop's compute+write)
-        stage_and_start_reads(i + 1)
+        stage_and_start_reads(i + 1, (c + 1) % 3)
 
         # 3. wait this hop's reads
         def rwait(k, _):
@@ -779,7 +793,7 @@ def _backup_kernel(layout: PackedLayout, mode: str,
         rows_vmem[pl.ds(buf, b)] = new
 
         # 4. start this hop's write-backs; waited when the buffer is
-        # about to be reused (i+2's step 1) or in the epilogue
+        # about to be reused (hop i+2's step 1) or in the epilogue
         def wstart(k, _):
             g = park_base(hopnodes_vmem[buf + k, 0])
             pltpu.make_async_copy(
@@ -789,28 +803,39 @@ def _backup_kernel(layout: PackedLayout, mode: str,
             ).start()
             return 0
         jax.lax.fori_loop(0, b, wstart, 0)
-        return i + 1
+
+    # the loop is UNROLLED x3 so every buffer index is a Python constant;
+    # the hop count rounds up to a multiple of 3 — the <= 2 surplus hops
+    # stage -1 pad path rows and replay harmlessly against the park tile
+    # exactly like short-lane hops (backup_paths appends 3 pad rows)
+    def cond(carry):
+        return 3 * carry < max_len
+
+    def body(j):
+        i = 3 * j
+        hop(i, 0)
+        hop(i + 1, 1)
+        hop(i + 2, 2)
+        return j + 1
 
     jax.lax.while_loop(cond, body, jnp.int32(0))
 
     # epilogue: exactly three DMAs are still outstanding on the hop
-    # buffers — the drained read R[L] (buffer L%3; its data is unused)
-    # and the writes on the other two buffers (real W[L-1]/W[L-2] or
-    # their park-tile dummies when L < 2) — plus the slot-tile write
-    L = max_len
-    bufL = jnp.remainder(L, 3) * b
-
+    # buffers — the drained read R[L_pad] (always buffer 0: L_pad % 3 ==
+    # 0; its data is unused) and the writes on buffers 1 and 2 (real
+    # W[L_pad-2]/W[L_pad-1], or their park-tile dummies when L == 0) —
+    # plus the slot-tile write
     def drain_rwait(k, _):
-        g = park_base(hopnodes_vmem[bufL + k, 0])
+        g = park_base(hopnodes_vmem[k, 0])
         pltpu.make_async_copy(
             packed_out.at[lane0 + k, pl.ds(g, GROUP), :],
-            rows_vmem.at[bufL + k], rsems.at[bufL + k],
+            rows_vmem.at[k], rsems.at[k],
         ).wait()
         return 0
     jax.lax.fori_loop(0, b, drain_rwait, 0)
 
-    wait_writes_buf(jnp.remainder(L - 2, 3) * b)
-    wait_writes_buf(jnp.remainder(L - 1, 3) * b)
+    wait_writes_buf(1)
+    wait_writes_buf(2)
 
     def cwb_wait(k, _):
         pltpu.make_async_copy(
@@ -860,21 +885,27 @@ def backup_paths(packed: jax.Array, path_nodes: jax.Array,
         # illegal (-1) and are never consumed by the walk kernels
         signed_priors = jnp.pad(signed_priors, ((0, 0), (0, s - a)),
                                 constant_values=-1.0)
-    # one -1 ("park") row under the paths: the pipelined kernel's
-    # unconditional R[i+1] prefetch stages row max_len on the last
-    # iteration; -1 routes those reads to the reserved park tile
-    path_nodes = jnp.pad(path_nodes, ((0, 1), (0, 0)),
+    # three -1 ("park") rows under the paths: the pipelined kernel runs
+    # ceil(max_len / 3) * 3 hops (3-unrolled loop, static buffer
+    # indices) and its unconditional R[i+1] prefetch stages one row past
+    # that — worst case row max_len + 2; -1 routes all surplus hops'
+    # reads to the reserved park tile
+    path_nodes = jnp.pad(path_nodes, ((0, 3), (0, 0)),
                          constant_values=-1)
+    # actions padded alike: surplus hops READ their action row (the
+    # compute is masked off by ``i < plen``, but the load must be in
+    # bounds)
+    path_actions = jnp.pad(path_actions, ((0, 3), (0, 0)))
     kernel = functools.partial(_backup_kernel, layout, mode)
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),    # packed (aliased)
-            pl.BlockSpec((d + 1, tile), lambda t: (0, t),
-                         memory_space=pltpu.VMEM),   # path nodes (+park row)
-            pl.BlockSpec((d, tile), lambda t: (0, t),
-                         memory_space=pltpu.VMEM),   # path actions
+            pl.BlockSpec((d + 3, tile), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),   # path nodes (+park rows)
+            pl.BlockSpec((d + 3, tile), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),   # path actions (+pad)
             pl.BlockSpec((tile, 1), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),   # path len
             pl.BlockSpec((tile, 1), lambda t: (t, 0),
