@@ -620,7 +620,7 @@ def _backup_kernel(layout: PackedLayout, mode: str,
         def cstart(k, _):
             pltpu.make_async_copy(
                 packed_out.at[lane0 + k, pl.ds(sg, GROUP), :],
-                cbuf_vmem.at[k], csems.at[k],
+                cbuf_vmem.at[k], csems.at[0],
             ).start()
             return 0
         jax.lax.fori_loop(0, b, cstart, 0)
@@ -628,7 +628,7 @@ def _backup_kernel(layout: PackedLayout, mode: str,
         def cwait(k, _):
             pltpu.make_async_copy(
                 packed_out.at[lane0 + k, pl.ds(sg, GROUP), :],
-                cbuf_vmem.at[k], csems.at[k],
+                cbuf_vmem.at[k], csems.at[0],
             ).wait()
             return 0
         jax.lax.fori_loop(0, b, cwait, 0)
@@ -644,7 +644,7 @@ def _backup_kernel(layout: PackedLayout, mode: str,
     def cwb_start(k, _):
         pltpu.make_async_copy(
             cbuf_vmem.at[k], packed_out.at[lane0 + k, pl.ds(sg, GROUP), :],
-            csems.at[k],
+            csems.at[0],
         ).start()
         return 0
     jax.lax.fori_loop(0, b, cwb_start, 0)
@@ -685,7 +685,7 @@ def _backup_kernel(layout: PackedLayout, mode: str,
             g = park_base(hopnodes_vmem[buf + k, 0])
             pltpu.make_async_copy(
                 packed_out.at[lane0 + k, pl.ds(g, GROUP), :],
-                rows_vmem.at[buf + k], rsems.at[buf + k],
+                rows_vmem.at[buf + k], rsems.at[c],
             ).start()
             return 0
         jax.lax.fori_loop(0, b, start, 0)
@@ -709,17 +709,17 @@ def _backup_kernel(layout: PackedLayout, mode: str,
     stage_and_start_reads(0, 0)
 
     park_g = n_max * GROUP
-    def dummy_wstart(buf0):
+    def dummy_wstart(c):
         def go(k, _):
             pltpu.make_async_copy(
-                rows_vmem.at[buf0 + k],
+                rows_vmem.at[c * b + k],
                 packed_out.at[lane0 + k, pl.ds(park_g, GROUP), :],
-                wsems.at[buf0 + k],
+                wsems.at[c],
             ).start()
             return 0
         jax.lax.fori_loop(0, b, go, 0)
-    dummy_wstart(b)        # W[-2] on buffer 1
-    dummy_wstart(2 * b)    # W[-1] on buffer 2
+    dummy_wstart(1)        # W[-2] on buffer 1
+    dummy_wstart(2)        # W[-1] on buffer 2
 
     def wait_writes_buf(c):
         """Wait the outstanding write-back on buffer ``c`` (a PYTHON int;
@@ -732,7 +732,7 @@ def _backup_kernel(layout: PackedLayout, mode: str,
             pltpu.make_async_copy(
                 rows_vmem.at[buf + k],
                 packed_out.at[lane0 + k, pl.ds(g, GROUP), :],
-                wsems.at[buf + k],
+                wsems.at[c],
             ).wait()
             return 0
         jax.lax.fori_loop(0, b, wwait, 0)
@@ -754,7 +754,7 @@ def _backup_kernel(layout: PackedLayout, mode: str,
             g = park_base(hopnodes_vmem[buf + k, 0])
             pltpu.make_async_copy(
                 packed_out.at[lane0 + k, pl.ds(g, GROUP), :],
-                rows_vmem.at[buf + k], rsems.at[buf + k],
+                rows_vmem.at[buf + k], rsems.at[c],
             ).wait()
             return 0
         jax.lax.fori_loop(0, b, rwait, 0)
@@ -799,7 +799,7 @@ def _backup_kernel(layout: PackedLayout, mode: str,
             pltpu.make_async_copy(
                 rows_vmem.at[buf + k],
                 packed_out.at[lane0 + k, pl.ds(g, GROUP), :],
-                wsems.at[buf + k],
+                wsems.at[c],
             ).start()
             return 0
         jax.lax.fori_loop(0, b, wstart, 0)
@@ -829,7 +829,7 @@ def _backup_kernel(layout: PackedLayout, mode: str,
         g = park_base(hopnodes_vmem[k, 0])
         pltpu.make_async_copy(
             packed_out.at[lane0 + k, pl.ds(g, GROUP), :],
-            rows_vmem.at[k], rsems.at[k],
+            rows_vmem.at[k], rsems.at[0],
         ).wait()
         return 0
     jax.lax.fori_loop(0, b, drain_rwait, 0)
@@ -840,7 +840,7 @@ def _backup_kernel(layout: PackedLayout, mode: str,
     def cwb_wait(k, _):
         pltpu.make_async_copy(
             cbuf_vmem.at[k], packed_out.at[lane0 + k, pl.ds(sg, GROUP), :],
-            csems.at[k],
+            csems.at[0],
         ).wait()
         return 0
     jax.lax.fori_loop(0, b, cwb_wait, 0)
@@ -922,14 +922,21 @@ def backup_paths(packed: jax.Array, path_nodes: jax.Array,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         out_shape=jax.ShapeDtypeStruct(packed.shape, packed.dtype),
         scratch_shapes=[
-            # 3 pipeline row buffers + the slot-compose buffer; per-buffer
-            # read/write DMA semaphores (flattened [3 * tile])
+            # 3 pipeline row buffers + the slot-compose buffer; ONE DMA
+            # semaphore per pipeline buffer (+1 for the slot tile), NOT
+            # per lane: a buffer is always barriered across all of its
+            # lanes before reuse, so per-lane semaphores add no ordering
+            # — and the sflag memory space that holds semaphores is only
+            # 2 KB, which 3x-tile per-lane arrays overflow at tile 64+
+            # ("Ran out of memory in memory space sflag", round-4 device
+            # compile).  b starts on one semaphore then b waits is the
+            # standard Pallas multi-copy barrier.
             pltpu.VMEM((3 * tile, GROUP, layout.seg), jnp.float32),
             pltpu.VMEM((tile, GROUP, layout.seg), jnp.float32),
             pltpu.VMEM((3 * tile, 1), jnp.int32),
-            pltpu.SemaphoreType.DMA((3 * tile,)),
-            pltpu.SemaphoreType.DMA((3 * tile,)),
-            pltpu.SemaphoreType.DMA((tile,)),
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((1,)),
         ],
         input_output_aliases={0: 0},
         compiler_params=pltpu.CompilerParams(
