@@ -69,13 +69,14 @@ from alphazero_gomoku_tpu.selfplay.runner import play_games
 
 b, sims, moves, infer = (int(sys.argv[1]), int(sys.argv[2]),
                          int(sys.argv[3]), sys.argv[4])
+backend = sys.argv[5] if len(sys.argv) > 5 else "pallas"
 env = make_env("gomoku", 15)
 model = AZModel(board_size=15, n_res_blocks=6, channels=128, seed=0)
 cfg = SelfPlayConfig(
     batch_games=b, temp_threshold=10, max_moves=moves,
     mcts=MCTSConfig(n_simulations=sims, cpuct=1.0, add_noise=True,
                     dirichlet_alpha=0.05, dirichlet_epsilon=0.15,
-                    dirichlet_moves=10, max_depth=56, backend="pallas"),
+                    dirichlet_moves=10, max_depth=56, backend=backend),
 )
 if infer == "int8":
     from alphazero_gomoku_tpu.ops.int8_net import (
@@ -91,7 +92,7 @@ t0 = time.time()
 traj = fn(params, jax.random.PRNGKey(5))
 n = int(np.asarray(jnp.sum(traj.moves_played)))   # true sync
 print(json.dumps({"probe": "selfplay", "batch": b, "sims": sims,
-                  "max_moves": moves, "infer": infer,
+                  "max_moves": moves, "infer": infer, "backend": backend,
                   "lane_tile": int(__import__("os").environ.get(
                       "AZG_LANE_TILE", "128")),
                   "lane_moves": n, "seconds": round(time.time() - t0, 1),

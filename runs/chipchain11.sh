@@ -50,6 +50,12 @@ echo "=== [$(date -u)] chain11: parent+pallas depth-cap probe ===" >> runs/chipc
 run_with_retry runs/parent_probe.log python repro/parent_pallas_probe.py
 tail -1 runs/parent_probe.log >> runs/chipchain11.log
 
+echo "=== [$(date -u)] chain11: batch-512 axis backend=xla ===" >> runs/chipchain11.log
+run_with_retry runs/bisect512_r4.log \
+  python repro/bisect_batch512_fault.py selfplay 512 400 48 f32 xla
+tail -1 runs/bisect512_r4.log >> runs/chipchain11.log
+sleep 60
+
 echo "=== [$(date -u)] chain11: restarting run-16 ===" >> runs/chipchain11.log
 nohup bash runs/run16_gomoku_gen2.sh > /dev/null 2>&1 &
 echo "chain11 done" >> runs/chipchain11.log
