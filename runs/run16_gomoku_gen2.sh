@@ -25,7 +25,11 @@ ANCHOR=checkpoints/best_gomoku.ckpt
 DIR=runs/models_run16
 echo $$ > /tmp/run16_keepalive.pid
 while true; do
-  python -c "import jax; jax.devices()" >/dev/null 2>&1 || { sleep 60; continue; }
+  # probe with a REAL computation: jax.devices() lists fine while the
+  # worker is compute-wedged (round-4 ops note) — only a synced sum
+  # proves the chip executes
+  timeout 180 python -c "import jax, jax.numpy as jnp; print(jnp.ones((8, 8)).sum())" >/dev/null 2>&1 \
+    || { echo "[keepalive] probe failed $(date -u)" >> runs/run16.log; sleep 120; continue; }
   SNAP=$(ls $DIR/snapshot_iter*.ckpt 2>/dev/null | sort -V | tail -1)
   ITER=$(echo "$SNAP" | grep -oE "iter[0-9]+" | grep -oE "[0-9]+")
   : "${ITER:=0}"
@@ -47,7 +51,22 @@ while true; do
     --seed $((ITER + 4100)) \
     "${ARGS[@]}" >> runs/run16.log 2>&1 &
   echo $! > /tmp/run16.pid
-  wait $(cat /tmp/run16.pid)
+  # stall watchdog: a segment whose log stops advancing for 10 min is
+  # host-futex-waiting on a wedged device program (iter-32 hang, round
+  # 4) — kill it so the probe loop can wait out the worker instead
+  SEG=$(cat /tmp/run16.pid)
+  while kill -0 "$SEG" 2>/dev/null; do
+    sleep 60
+    AGE=$(( $(date +%s) - $(stat -c %Y runs/run16.log) ))
+    if [ "$AGE" -gt 600 ]; then
+      echo "[keepalive] log stalled ${AGE}s — killing wedged segment $(date -u)" >> runs/run16.log
+      kill "$SEG" 2>/dev/null
+      sleep 10
+      kill -9 "$SEG" 2>/dev/null
+      break
+    fi
+  done
+  wait "$SEG" 2>/dev/null
   echo "[keepalive] segment ended at $(date -u)" >> runs/run16.log
   LAST=$(ls $DIR/snapshot_iter*.ckpt 2>/dev/null | sort -V | tail -1 | grep -oE "iter[0-9]+" | grep -oE "[0-9]+")
   [ "${LAST:-0}" -ge 200 ] && break
