@@ -25,11 +25,13 @@ ANCHOR=checkpoints/best_gomoku.ckpt
 DIR=runs/models_run16
 echo $$ > /tmp/run16_keepalive.pid
 while true; do
-  # probe with a REAL computation: jax.devices() lists fine while the
-  # worker is compute-wedged (round-4 ops note) — only a synced sum
-  # proves the chip executes
-  timeout 180 python -c "import jax, jax.numpy as jnp; print(jnp.ones((8, 8)).sum())" >/dev/null 2>&1 \
-    || { echo "[keepalive] probe failed $(date -u)" >> runs/run16.log; sleep 120; continue; }
+  # NO separate probe process: every probe leaves a dead claim on the
+  # relay, and a segment launched right behind one queues its first
+  # device execution behind the stale claim forever (round-4 wedge
+  # pattern: banner prints, then futex-wait with zero progress).  The
+  # segment IS the probe — the stall watchdog below reaps it if the
+  # worker is genuinely wedged, and the inter-cycle sleep lets our own
+  # claim expire before the next attach.
   SNAP=$(ls $DIR/snapshot_iter*.ckpt 2>/dev/null | sort -V | tail -1)
   ITER=$(echo "$SNAP" | grep -oE "iter[0-9]+" | grep -oE "[0-9]+")
   : "${ITER:=0}"
@@ -70,6 +72,6 @@ while true; do
   echo "[keepalive] segment ended at $(date -u)" >> runs/run16.log
   LAST=$(ls $DIR/snapshot_iter*.ckpt 2>/dev/null | sort -V | tail -1 | grep -oE "iter[0-9]+" | grep -oE "[0-9]+")
   [ "${LAST:-0}" -ge 200 ] && break
-  sleep 60
+  sleep 180   # let this cycle's dead claim expire before re-attaching
 done
 echo "[keepalive] run complete at $(date -u)" >> runs/run16.log
