@@ -538,6 +538,187 @@ def gumbel_select_walk(packed: jax.Array, root_actions: jax.Array,
 # ----------------------------------------------------------------------
 # backup kernel
 # ----------------------------------------------------------------------
+def _backup_kernel_serial(layout: PackedLayout, mode: str,
+                   packed_in, pnodes_ref, pacts_ref, plen_ref, values_ref,
+                   expanding_ref, priors_ref, done_ref, slot_ref,
+                   packed_out, rows_vmem, hopnodes_vmem, sems):
+    """Round-3 serial hop replay — the SHIPPED default.
+
+    The triple-buffered pipeline below (`_backup_kernel`) overlaps hop
+    i+1's reads with hop i's compute, but its x3-unrolled loop pads the
+    hop count to a multiple of 3 with park-tile replays; at production
+    path lengths (~3-6 hops at gumbel@64 / puct@400 self-play) the
+    surplus hops cost more than the overlap buys: end-to-end device A/B
+    measured 506.8 (pipeline) vs ~536 (serial) moves/s on bench config
+    #3 and 3357.9 vs 3626.3 on config #6 (round 4, runs/bench_r4_probe
+    .log).  The pipeline stays selectable via AZG_BACKUP_PIPELINE=1 /
+    ``backup_paths(pipeline=True)`` for long-walk workloads and future
+    tuning; both variants are bit-exact vs the XLA search on device
+    (tools/device_parity.py).
+    """
+    s = layout.seg
+    b = rows_vmem.shape[0]
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
+    iota_sub = jax.lax.broadcasted_iota(jnp.int32, (1, GROUP, 1), 1)
+    sub_n = (iota_sub == SL_N).astype(jnp.float32)
+    sub_w = (iota_sub == SL_W).astype(jnp.float32)
+    sub_p = (iota_sub == SL_P).astype(jnp.float32)
+    sub_c = (iota_sub == SL_C).astype(jnp.float32)
+    sub_m = (iota_sub == SL_META).astype(jnp.float32)
+
+    plen = plen_ref[:]          # [B, 1] i32
+    values = values_ref[:]      # [B, 1] f32
+    expanding = expanding_ref[:] == 1
+    slot = slot_ref[0, 0]
+    max_len = jnp.max(plen)
+    lane0 = pl.program_id(0) * b  # absolute lane of this tile's first row
+
+    # ---- compose the fresh slot tile in VMEM ---------------------------
+    # Writing it here (instead of an XLA dynamic-update-slice in the scan
+    # body) keeps the packed tree untouched by any XLA op between the
+    # custom-calls: XLA's layout assignment otherwise puts the row
+    # compose/update cluster in a node-major layout and inserts a
+    # full-tree relayout copy PER SIMULATION — measured 0.37 ms/sim at
+    # 64x408x1152, >30% of the whole simulation (round-3 device trace).
+    # In the node-as-group layout nothing shares the slot's tile, so in
+    # "backup"/"vl" mode (fresh slot: zero stats, children -1 from the
+    # per-move init) the compose is a PURE WRITE — no read DMA.  In
+    # "finalize" mode later vl sims of the same macro step may already
+    # have visited/expanded the slot node, so N/W/C are preserved via a
+    # read-modify-write.  Orphan (non-expanding) lanes get the tile too,
+    # matching the XLA glue's unconditional write — nothing links to them.
+    n_max = layout.n_nodes - 1
+    sg = _group_base(slot, n_max)
+
+    iota_col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s), 2)
+    col0 = (iota_col == 0).astype(jnp.float32)
+    col1 = (iota_col == 1).astype(jnp.float32)
+    dn = done_ref[:]                                     # [B, 1]
+    meta3 = dn[:, :, None] * col0 + values[:, :, None] * col1   # [B,1,S]
+    pri3 = priors_ref[:][:, None, :]                     # [B, 1, S]
+
+    if mode == "finalize":
+        def cstart(k, _):
+            pltpu.make_async_copy(
+                packed_out.at[lane0 + k, pl.ds(sg, GROUP), :],
+                rows_vmem.at[k], sems.at[k],
+            ).start()
+            return 0
+        jax.lax.fori_loop(0, b, cstart, 0)
+
+        def cwait(k, _):
+            pltpu.make_async_copy(
+                packed_out.at[lane0 + k, pl.ds(sg, GROUP), :],
+                rows_vmem.at[k], sems.at[k],
+            ).wait()
+            return 0
+        jax.lax.fori_loop(0, b, cwait, 0)
+        groups0 = rows_vmem[:]
+        keep = 1.0 - sub_p - sub_m
+        rows_vmem[:] = groups0 * keep + sub_p * pri3 + sub_m * meta3
+    else:
+        rows_vmem[:] = sub_p * pri3 + sub_c * (-1.0) + sub_m * meta3
+
+    def cwb_start(k, _):
+        pltpu.make_async_copy(
+            rows_vmem.at[k], packed_out.at[lane0 + k, pl.ds(sg, GROUP), :],
+            sems.at[k],
+        ).start()
+        return 0
+    jax.lax.fori_loop(0, b, cwb_start, 0)
+
+    def cwb_wait(k, _):
+        pltpu.make_async_copy(
+            rows_vmem.at[k], packed_out.at[lane0 + k, pl.ds(sg, GROUP), :],
+            sems.at[k],
+        ).wait()
+        return 0
+    jax.lax.fori_loop(0, b, cwb_wait, 0)
+
+    def cond(carry):
+        return carry < max_len
+
+    def body(i):
+        # stage this hop's per-lane node indices as a [B, 1] column: scalar
+        # VMEM reads need a static lane index (dynamic lane offsets are not
+        # addressable), so the DMA loops read hopnodes_vmem[k, 0]
+        hop_nodes = jnp.reshape(pnodes_ref[pl.ds(i, 1), :], (b, 1))
+        hopnodes_vmem[:] = jnp.maximum(hop_nodes, 0)
+
+        def start(k, _):
+            g = _group_base(hopnodes_vmem[k, 0], n_max)
+            pltpu.make_async_copy(
+                packed_out.at[lane0 + k, pl.ds(g, GROUP), :], rows_vmem.at[k],
+                sems.at[k],
+            ).start()
+            return 0
+        jax.lax.fori_loop(0, b, start, 0)
+
+        def wait(k, _):
+            g = _group_base(hopnodes_vmem[k, 0], n_max)
+            pltpu.make_async_copy(
+                packed_out.at[lane0 + k, pl.ds(g, GROUP), :], rows_vmem.at[k],
+                sems.at[k],
+            ).wait()
+            return 0
+        jax.lax.fori_loop(0, b, wait, 0)
+
+        groups = rows_vmem[:]   # [B, GROUP, seg]
+        acts = jnp.reshape(pacts_ref[pl.ds(i, 1), :], (b, 1))
+        active_f = (i < plen).astype(jnp.float32)       # [B, 1]
+        # masks as f32 throughout: Mosaic cannot broadcast i1 vectors into
+        # a new minor dim, 32-bit types only
+        onehot_f = (iota_s == acts).astype(jnp.float32) * active_f  # [B, S]
+        oh3 = onehot_f[:, None, :]                      # [B, 1, S]
+
+        # v at edge i (0 = root edge) is value * (-1)^(L - i): the leaf sits
+        # L hops below, and perspective flips once per hop up
+        # (tree._apply_eval_and_backup)
+        parity = jnp.bitwise_and(plen - i, 1) == 1
+        v = jnp.where(parity, -values, values)          # [B, 1]
+        v3 = v[:, :, None]                              # [B, 1, 1]
+
+        if mode == "backup":       # one-shot backup: N+1, W += v_flipped
+            delta = oh3 * (sub_n + sub_w * v3)
+        elif mode == "vl":         # virtual loss: N+1, W-1, NO flip
+            delta = oh3 * (sub_n - sub_w)
+        elif mode == "finalize":   # replace VL: W += v_flipped + 1, N as-is
+            delta = oh3 * (sub_w * (v3 + 1.0))
+        else:
+            raise ValueError(f"unknown backup mode: {mode!r}")
+        new = groups + delta
+
+        # expansion edge (the path's last hop of an expanding lane) links
+        # the fresh slot into the children sublane
+        is_exp_f = (jnp.logical_and(expanding, i == plen - 1)
+                    .astype(jnp.float32))               # [B, 1]
+        set_c = oh3 * sub_c * is_exp_f[:, :, None]
+        new = jnp.where(set_c > 0.5, slot.astype(jnp.float32), new)
+        rows_vmem[:] = new
+
+        def wstart(k, _):
+            g = _group_base(hopnodes_vmem[k, 0], n_max)
+            pltpu.make_async_copy(
+                rows_vmem.at[k], packed_out.at[lane0 + k, pl.ds(g, GROUP), :],
+                sems.at[k],
+            ).start()
+            return 0
+        jax.lax.fori_loop(0, b, wstart, 0)
+
+        def wwait(k, _):
+            g = _group_base(hopnodes_vmem[k, 0], n_max)
+            pltpu.make_async_copy(
+                rows_vmem.at[k], packed_out.at[lane0 + k, pl.ds(g, GROUP), :],
+                sems.at[k],
+            ).wait()
+            return 0
+        jax.lax.fori_loop(0, b, wwait, 0)
+        return i + 1
+
+    jax.lax.while_loop(cond, body, jnp.int32(0))
+
+
+
 def _backup_kernel(layout: PackedLayout, mode: str,
                    packed_in, pnodes_ref, pacts_ref, plen_ref, values_ref,
                    expanding_ref, priors_ref, done_ref, slot_ref,
@@ -846,13 +1027,15 @@ def _backup_kernel(layout: PackedLayout, mode: str,
     jax.lax.fori_loop(0, b, cwb_wait, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("layout", "interpret", "mode"))
+@functools.partial(jax.jit, static_argnames=("layout", "interpret", "mode",
+                                             "pipeline"))
 def backup_paths(packed: jax.Array, path_nodes: jax.Array,
                  path_actions: jax.Array, path_len: jax.Array,
                  values: jax.Array, expanding: jax.Array, slot: jax.Array,
                  layout: PackedLayout,
                  signed_priors: jax.Array, done: jax.Array,
-                 interpret: bool = False, mode: str = "backup") -> jax.Array:
+                 interpret: bool = False, mode: str = "backup",
+                 pipeline: bool = None) -> jax.Array:
     """Write the fresh slot tile, then apply one simulation's backup.
 
     In-place on ``packed`` (aliased); returns the updated array.  ``slot``
@@ -875,9 +1058,12 @@ def backup_paths(packed: jax.Array, path_nodes: jax.Array,
         while preserving N/W/C accumulated by later vl sims of the same
         macro step.
     """
+    if pipeline is None:
+        # env default, read at trace time (first call wins per shape —
+        # same semantics as AZG_LANE_TILE); tests pass it explicitly
+        pipeline = os.environ.get("AZG_BACKUP_PIPELINE", "0") == "1"
     b = packed.shape[0]
     tile, n_tiles = _lane_tiling(b)
-    d = path_nodes.shape[0]
     a = signed_priors.shape[-1]
     s = layout.seg
     if a < s:
@@ -885,6 +1071,12 @@ def backup_paths(packed: jax.Array, path_nodes: jax.Array,
         # illegal (-1) and are never consumed by the walk kernels
         signed_priors = jnp.pad(signed_priors, ((0, 0), (0, s - a)),
                                 constant_values=-1.0)
+    if not pipeline:
+        return _backup_paths_serial(packed, path_nodes, path_actions,
+                                    path_len, values, expanding, slot,
+                                    layout, signed_priors, done,
+                                    interpret, mode, tile, n_tiles)
+    d = path_nodes.shape[0]
     # three -1 ("park") rows under the paths: the pipelined kernel runs
     # ceil(max_len / 3) * 3 hops (3-unrolled loop, static buffer
     # indices) and its unconditional R[i+1] prefetch stages one row past
@@ -937,6 +1129,57 @@ def backup_paths(packed: jax.Array, path_nodes: jax.Array,
             pltpu.SemaphoreType.DMA((3,)),
             pltpu.SemaphoreType.DMA((3,)),
             pltpu.SemaphoreType.DMA((1,)),
+        ],
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=_vmem_limit(tile, layout.seg)),
+        interpret=interpret,
+    )(packed, path_nodes, path_actions,
+      path_len.reshape(b, 1).astype(jnp.int32),
+      values.reshape(b, 1).astype(jnp.float32),
+      expanding.reshape(b, 1).astype(jnp.int32),
+      signed_priors.astype(jnp.float32),
+      done.reshape(b, 1).astype(jnp.float32),
+      jnp.asarray(slot, jnp.int32).reshape(1, 1))
+
+
+def _backup_paths_serial(packed, path_nodes, path_actions, path_len,
+                         values, expanding, slot, layout, signed_priors,
+                         done, interpret, mode, tile, n_tiles):
+    """Serial-hop pallas_call (round-3 kernel; see _backup_kernel_serial)."""
+    b = packed.shape[0]
+    d = path_nodes.shape[0]
+    s = layout.seg
+    kernel = functools.partial(_backup_kernel_serial, layout, mode)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),    # packed (aliased)
+            pl.BlockSpec((d, tile), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),   # path nodes
+            pl.BlockSpec((d, tile), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),   # path actions
+            pl.BlockSpec((tile, 1), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),   # path len
+            pl.BlockSpec((tile, 1), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),   # values
+            pl.BlockSpec((tile, 1), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),   # expanding
+            pl.BlockSpec((tile, s), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),   # slot-tile priors
+            pl.BlockSpec((tile, 1), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),   # slot-tile done flag
+            pl.BlockSpec((1, 1), lambda t: (0, 0),
+                         memory_space=pltpu.SMEM),   # slot
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        out_shape=jax.ShapeDtypeStruct(packed.shape, packed.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tile, GROUP, layout.seg), jnp.float32),
+            pltpu.VMEM((tile, 1), jnp.int32),
+            pltpu.SemaphoreType.DMA((tile,)),
         ],
         input_output_aliases={0: 0},
         compiler_params=pltpu.CompilerParams(
