@@ -64,12 +64,17 @@ class MCTSConfig:
     #     across all legal moves and the final argmax degenerates exactly
     #     when one forced block would save the game. Players default to
     #     "parent"; self-play keeps "zero" for reference comparability.
-    #   KNOWN ISSUE (round 2, untriaged): "parent" with backend="pallas"
-    #     crashes the TPU worker minutes into LONG runs (full-length
-    #     batch-128 self-play died twice at either depth cap; the same
-    #     program with "zero" runs clean, and short runs/CPU interpret
-    #     are fine). Engine play uses batch 1 (XLA path) and is
-    #     unaffected. Until triaged, avoid parent+pallas for training.
+    #   KNOWN ISSUE (round 2; bisect in progress round 4): "parent" with
+    #     backend="pallas" crashed the TPU worker minutes into LONG runs
+    #     (full-length batch-128 self-play died twice at either depth
+    #     cap; "zero" ran clean, short runs/CPU interpret are fine).
+    #     Round-4 probe (repro/parent_pallas_probe.py, on device):
+    #     parent@cap8 and zero@cap8/56 are CLEAN over 24-move batches —
+    #     depth-capped lanes per se do NOT fault, so the trigger is
+    #     run-length-dependent; the round-4 stale-claim tunnel wedge
+    #     (DECISIONS) is also a candidate explanation for the original
+    #     reports. Until a full-length probe lands, keep training on
+    #     "zero". Engine play uses batch 1 (XLA path) and is unaffected.
     fpu_mode: str = "zero"
     # leaves selected (with virtual loss) per network call, per game.
     # 1 = the reference-exact sequential search.  k>1 selects k leaves
