@@ -1027,8 +1027,6 @@ def _backup_kernel(layout: PackedLayout, mode: str,
     jax.lax.fori_loop(0, b, cwb_wait, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("layout", "interpret", "mode",
-                                             "pipeline"))
 def backup_paths(packed: jax.Array, path_nodes: jax.Array,
                  path_actions: jax.Array, path_len: jax.Array,
                  values: jax.Array, expanding: jax.Array, slot: jax.Array,
@@ -1036,6 +1034,29 @@ def backup_paths(packed: jax.Array, path_nodes: jax.Array,
                  signed_priors: jax.Array, done: jax.Array,
                  interpret: bool = False, mode: str = "backup",
                  pipeline: bool = None) -> jax.Array:
+    """Thin dispatcher: resolve ``pipeline=None`` from the environment
+    OUTSIDE the jit so the static cache key is always a concrete bool
+    (flipping ``AZG_BACKUP_PIPELINE`` mid-process is honored for direct
+    calls rather than frozen at first trace; calls from inside an outer
+    jitted search still resolve at that outer function's trace time).
+    See :func:`_backup_paths_jit` for semantics."""
+    if pipeline is None:
+        pipeline = os.environ.get("AZG_BACKUP_PIPELINE", "0") == "1"
+    return _backup_paths_jit(packed, path_nodes, path_actions, path_len,
+                             values, expanding, slot, layout,
+                             signed_priors, done, interpret, mode,
+                             pipeline)
+
+
+@functools.partial(jax.jit, static_argnames=("layout", "interpret", "mode",
+                                             "pipeline"))
+def _backup_paths_jit(packed: jax.Array, path_nodes: jax.Array,
+                      path_actions: jax.Array, path_len: jax.Array,
+                      values: jax.Array, expanding: jax.Array,
+                      slot: jax.Array, layout: PackedLayout,
+                      signed_priors: jax.Array, done: jax.Array,
+                      interpret: bool = False, mode: str = "backup",
+                      pipeline: bool = False) -> jax.Array:
     """Write the fresh slot tile, then apply one simulation's backup.
 
     In-place on ``packed`` (aliased); returns the updated array.  ``slot``
@@ -1058,10 +1079,6 @@ def backup_paths(packed: jax.Array, path_nodes: jax.Array,
         while preserving N/W/C accumulated by later vl sims of the same
         macro step.
     """
-    if pipeline is None:
-        # env default, read at trace time (first call wins per shape —
-        # same semantics as AZG_LANE_TILE); tests pass it explicitly
-        pipeline = os.environ.get("AZG_BACKUP_PIPELINE", "0") == "1"
     b = packed.shape[0]
     tile, n_tiles = _lane_tiling(b)
     a = signed_priors.shape[-1]

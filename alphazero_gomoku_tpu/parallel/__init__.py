@@ -11,6 +11,7 @@ from alphazero_gomoku_tpu.parallel.mesh import (  # noqa: F401
     make_sharded_selfplay,
     make_sharded_selfplay_continuous,
     make_sharded_train_epoch,
+    min_local_buffer_len,
 )
 from alphazero_gomoku_tpu.parallel.distributed import (  # noqa: F401
     initialize_distributed,

@@ -359,3 +359,20 @@ def global_buffer_len(local_len: int) -> int:
 
     return int(np.sum(multihost_utils.process_allgather(
         np.int64(local_len))))
+
+
+def min_local_buffer_len(local_len: int) -> int:
+    """Minimum of every process's local replay-buffer length.
+
+    Per-host training must also gate on the SHORTEST shard: a host whose
+    games contributed no samples yet cannot draw its share of the global
+    batch (``ReplayBuffer.sample`` on an empty shard is an error), and —
+    as with :func:`global_buffer_len` — the decision must be identical
+    on every host or the sharded epoch deadlocks.
+    """
+    if jax.process_count() == 1:
+        return local_len
+    from jax.experimental import multihost_utils
+
+    return int(np.min(multihost_utils.process_allgather(
+        np.int64(local_len))))

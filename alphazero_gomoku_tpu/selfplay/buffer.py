@@ -150,6 +150,11 @@ class ReplayBuffer:
         legitimately ask a short local shard for its share of a global
         batch whose global gate already passed.
         """
+        if self._size == 0:
+            raise ValueError(
+                "sample() on an empty replay buffer — in per-host replay "
+                "mode gate training on min_local_buffer_len (see "
+                "selfplay/loop.py) so no host samples an empty shard")
         rng = rng or np.random.default_rng()
         idx = rng.choice(self._size, size=batch_size,
                          replace=self._size < batch_size)

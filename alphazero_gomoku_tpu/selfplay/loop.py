@@ -399,7 +399,7 @@ def train_alphazero(
         if mesh is None:
             raise ValueError("replay_sharding='per_host' requires a device "
                              "mesh (it is a multi-host scale-out mode)")
-        if batch_size % max(n_procs, mesh.devices.size):
+        if batch_size % n_procs or batch_size % mesh.devices.size:
             raise ValueError(
                 f"replay_sharding='per_host' needs batch_size "
                 f"({batch_size}) divisible by both process_count "
@@ -409,7 +409,16 @@ def train_alphazero(
         log(f"[replay] per-host sharded: {n_procs} process(es) x "
             f"{buffer_size} samples, no trajectory all-gather")
 
-    buffer_path = os.path.join(model_dir, "replay_buffer_latest.npz")
+    # per-host sharded replay: each process owns a UNIQUE slice of the
+    # replay distribution, so persistence must be per-process too — a
+    # single shared file would either drop every non-primary shard on
+    # resume or duplicate proc0's shard onto every host
+    if per_host_replay and n_procs > 1:
+        buffer_path = os.path.join(
+            model_dir,
+            f"replay_buffer_latest.proc{jax.process_index()}.npz")
+    else:
+        buffer_path = os.path.join(model_dir, "replay_buffer_latest.npz")
     plane_scales = getattr(env, "obs_plane_scales", None)
     buffer = load_replay_buffer(buffer_path, capacity=buffer_size,
                                 board_size=board_size,
@@ -726,8 +735,16 @@ def train_alphazero(
                 # gate + steps/epoch from the GLOBAL sample count: hosts
                 # hold different-length shards, and diverging on control
                 # flow that issues collectives would deadlock the epoch
-                from alphazero_gomoku_tpu.parallel import global_buffer_len
+                from alphazero_gomoku_tpu.parallel import (
+                    global_buffer_len,
+                    min_local_buffer_len,
+                )
                 effective_len = global_buffer_len(len(buffer))
+                # also require every host's shard to be non-empty: an
+                # empty shard cannot draw its share of the global batch,
+                # and the gate must agree on all hosts (deadlock otherwise)
+                if min_local_buffer_len(len(buffer)) == 0:
+                    effective_len = 0
             else:
                 effective_len = len(buffer)
             if effective_len >= batch_size:
@@ -897,8 +914,11 @@ def train_alphazero(
             log(" candidate rejected -> best unchanged (track mode)")
 
         # ---- phase 5: snapshot + persist buffer ----------------------
-        # multi-host: only the primary writes artifacts (every process
-        # holds identical state, so one writer fully describes the run)
+        # multi-host: only the primary writes model artifacts (model and
+        # optimizer state are replicated, so one writer fully describes
+        # them).  The replay buffer is only replicated in the default
+        # mode; under per_host sharding every process persists its own
+        # unique shard to its own file (buffer_path is per-process).
         primary = jax.process_index() == 0
         snapshot_path = None
         with timer.phase("checkpoint"):
@@ -916,8 +936,8 @@ def train_alphazero(
                 # stable alias used by the player plugins' default model_path
                 model_best.save(os.path.join(model_dir, "best_latest.ckpt"))
                 log(f" saved snapshot: {snapshot_path}")
-            if primary and (it % buffer_save_every == 0
-                            or it == end_iter - 1):
+            if (primary or per_host_replay) and (
+                    it % buffer_save_every == 0 or it == end_iter - 1):
                 save_replay_buffer(buffer, buffer_path)
         if it == trace_iter:
             stop_profiler_trace()

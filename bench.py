@@ -34,6 +34,24 @@ import numpy as np
 
 BASELINE_MOVES_PER_SEC = 8.6  # reference CPU engine @ 400 sims (see header)
 
+# v5e single-chip peaks for the roofline self-report (BASELINE.md table)
+PEAK_TFLOPS = {"int8": 394.0, "bf16": 197.0, "fused": 197.0, "f32": 197.0}
+
+
+def net_flops_per_eval(board_size: int, n_res_blocks: int, channels: int,
+                       cin: int = 3) -> float:
+    """FLOPs of one leaf evaluation (the BASELINE.md roofline formula).
+
+    2*H*W*9*Cin*Cout per 3x3 SAME conv; two convs per res block; heads
+    are <1% (counted coarsely).  6x128 on 15x15 evaluates to ~8.0e8,
+    matching the hand-derived figure in BASELINE.md.
+    """
+    hw = board_size * board_size
+    stem = 2 * hw * 9 * cin * channels
+    tower = n_res_blocks * 2 * (2 * hw * 9 * channels * channels)
+    heads = 2 * hw * channels * 3 + 2 * (2 * hw) * (hw + 1) + 2 * hw * 64
+    return float(stem + tower + heads)
+
 
 def _quiesce(threshold: float = 1.5, max_wait: float = 90.0):
     """Wait for host CPU contention to clear before timing.
@@ -171,6 +189,13 @@ def run_bench(batch_games: int = 256, n_simulations: int = 400,
         jax.profiler.stop_trace()
 
     value = moves / dt
+    # roofline position: NN TF/s implied by the leaf-eval rate vs the
+    # chip's peak for this inference dtype (VERDICT r4 #9 — makes perf
+    # drift and remaining lever headroom visible in every BENCH_r*.json)
+    flops = net_flops_per_eval(board_size, n_res_blocks, channels,
+                               cin=env.encode(env.init()).shape[-1])
+    nn_tfps = value * n_simulations * leaves_per_sim * flops / 1e12
+    peak = PEAK_TFLOPS.get(infer, 197.0)
     return {
         "metric": (
             f"self-play moves/sec @ {n_simulations} sims "
@@ -190,6 +215,9 @@ def run_bench(batch_games: int = 256, n_simulations: int = 400,
             "leaves_per_sim": leaves_per_sim,
             "search": search,
             "device": str(jax.devices()[0]),
+            "nn_tflops_per_sec": round(nn_tfps, 1),
+            "mfu_pct": round(100.0 * nn_tfps / peak, 1),
+            "mfu_peak_ref": f"v5e {infer} {peak:.0f} TF/s",
             "runs_moves_per_sec": runs,
             "host_load_1min": round(load, 2),
             "quiesce_wait_s": load_wait,

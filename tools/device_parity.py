@@ -46,21 +46,36 @@ def random_states(env, batch, plies, seed):
 
 
 def compare(env, cfg, eval_fn, bundle, states, move_no, key):
-    from alphazero_gomoku_tpu.search.tree import run_mcts_with_q
-    from alphazero_gomoku_tpu.search.tree_pallas import run_mcts_packed
+    import dataclasses
 
+    from alphazero_gomoku_tpu.search.tree import run_mcts_with_q
+
+    # ROUND-5 FIX: the [xla] side must FORCE backend="xla".  With the
+    # grid's backend="pallas" the round-4 version of this tool let
+    # run_mcts_with_q dispatch back into the packed path (batch >= 8), so
+    # the puct rows compared the packed program against itself, and the
+    # gumbel row compared the packed GUMBEL search (via run_gumbel_mcts
+    # dispatch) against run_mcts_packed's hard-coded PUCT walk — the
+    # round-4 "0.22 gumbel device divergence" was an algorithm mismatch,
+    # not numerics (DECISIONS round 5).
+    cfg_x = dataclasses.replace(cfg, backend="xla")
     moves = jnp.full((states.done.shape[0],), move_no, jnp.int32)
     t0 = time.time()
     print("  [xla] compile+run...", flush=True)
     pi_x, q_x = jax.jit(
-        lambda s, k: run_mcts_with_q(env, cfg, eval_fn, bundle, s, moves, k)
+        lambda s, k: run_mcts_with_q(env, cfg_x, eval_fn, bundle, s,
+                                     moves, k)
     )(states, key)
     pi_x, q_x = np.asarray(pi_x), np.asarray(q_x)
     t_x = time.time() - t0
     t0 = time.time()
     print(f"  [xla] done {t_x:.1f}s; [packed] compile+run...", flush=True)
+    # packed side: run_mcts_with_q with backend="pallas" — the real
+    # production dispatch (gumbel configs route to the packed gumbel
+    # walk; run_mcts_packed alone would hard-code the PUCT walk)
     pi_p, q_p = jax.jit(
-        lambda s, k: run_mcts_packed(env, cfg, eval_fn, bundle, s, moves, k)
+        lambda s, k: run_mcts_with_q(env, cfg, eval_fn, bundle, s,
+                                     moves, k)
     )(states, key)
     pi_p, q_p = np.asarray(pi_p), np.asarray(q_p)
     t_p = time.time() - t0

@@ -50,10 +50,19 @@ def main(argv=None):
     moves = jnp.full((64,), 6, jnp.int32)
     key = jax.random.PRNGKey(7)
 
-    packed = jax.jit(lambda s, k: run_mcts_packed(
+    # ROUND-5 FIX: run_mcts_packed hard-codes the PUCT walk (ignores
+    # cfg.search), and run_mcts_with_q with backend="pallas" dispatches
+    # to the packed GUMBEL walk — so the round-4 version of this probe
+    # compared two different ALGORITHMS and its 0.22 "cross-backend"
+    # delta was expected, not a divergence.  The correct pair: the same
+    # dispatcher with backend flipped.
+    import dataclasses
+    cfg_xla = dataclasses.replace(cfg, backend="xla")
+    packed = jax.jit(lambda s, k: run_mcts_with_q(
         env, cfg, eval_fn, bundle, s, moves, k))
     xla = jax.jit(lambda s, k: run_mcts_with_q(
-        env, cfg, eval_fn, bundle, s, moves, k))
+        env, cfg_xla, eval_fn, bundle, s, moves, k))
+    del run_mcts_packed
 
     outs = []
     for r in range(n_rep):
