@@ -144,10 +144,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "self-play/arena leaf evaluation "
                          "(alias for --inference fused)")
     ap.add_argument("--inference", default="f32",
-                    choices=["f32", "bf16", "fused", "int8"],
+                    choices=["f32", "bf16", "fused", "int8", "int8t"],
                     help="search-time network forward: exact f32 apply, "
-                         "folded-BN bfloat16 XLA, or the fused Pallas "
-                         "kernel (training steps always use exact f32)")
+                         "folded-BN bfloat16 XLA, the fused bf16 Pallas "
+                         "kernel, per-channel int8 (XLA), or int8t — the "
+                         "same int8 scheme through the fused whole-tower "
+                         "Pallas kernel (training steps always use exact "
+                         "f32)")
     ap.add_argument("--profile-trace-dir", default=None,
                     help="capture an XProf device trace of the 2nd "
                          "iteration into this directory")

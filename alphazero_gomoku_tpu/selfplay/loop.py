@@ -460,7 +460,7 @@ def train_alphazero(
                     ))
                 _fold_cache[model] = cached
             return cached[1]
-    elif inference == "int8":
+    elif inference in ("int8", "int8t"):
         # bias-corrected per-channel int8 search forward (ops/int8_net):
         # strength-neutral by mirrored arena A/B (tools/int8_ab.py) and
         # ~1.3x self-play at production batches.  Re-quantized after
@@ -468,9 +468,17 @@ def train_alphazero(
         # from the replay buffer (falls back to random-play boards while
         # the buffer is empty).  Applies to self-play AND the arenas
         # (symmetric for both sides); the optimizer step stays f32.
+        # "int8t" routes the same quantized bundle through the fused
+        # whole-tower Pallas kernel (ops/int8_tower) — identical numerics
+        # (bit-exact logits), all inter-layer traffic VMEM-resident.
         from alphazero_gomoku_tpu.ops.int8_net import (
             make_int8_eval_fn, quantize_int8, random_play_calib_obs)
-        eval_fn = make_int8_eval_fn(model_candidate.cfg)
+        if inference == "int8t":
+            from alphazero_gomoku_tpu.ops.int8_tower import (
+                make_int8_tower_eval_fn, pack_tower_bundle)
+            eval_fn = make_int8_tower_eval_fn(model_candidate.cfg)
+        else:
+            eval_fn = make_int8_eval_fn(model_candidate.cfg)
         _q_cache: dict = {}
         _calib_rng = np.random.default_rng(seed)
 
@@ -493,9 +501,12 @@ def train_alphazero(
                 # params change (twice per iteration: post-train for the
                 # arena, and for the next iteration's self-play)
                 with timer.phase("quantize"):
-                    cached = (model.params, quantize_int8(
+                    bundle = quantize_int8(
                         model.cfg, model.params, model.batch_stats,
-                        _calib_states(model.cfg)))
+                        _calib_states(model.cfg))
+                    if inference == "int8t":
+                        bundle = pack_tower_bundle(model.cfg, bundle)
+                    cached = (model.params, bundle)
                 _q_cache[model] = cached
             return cached[1]
     elif inference == "f32":

@@ -35,7 +35,8 @@ import numpy as np
 BASELINE_MOVES_PER_SEC = 8.6  # reference CPU engine @ 400 sims (see header)
 
 # v5e single-chip peaks for the roofline self-report (BASELINE.md table)
-PEAK_TFLOPS = {"int8": 394.0, "bf16": 197.0, "fused": 197.0, "f32": 197.0}
+PEAK_TFLOPS = {"int8": 394.0, "int8t": 394.0, "bf16": 197.0,
+               "fused": 197.0, "f32": 197.0}
 
 
 def net_flops_per_eval(board_size: int, n_res_blocks: int, channels: int,
@@ -83,7 +84,7 @@ def run_bench(batch_games: int = 256, n_simulations: int = 400,
               gumbel_parallel: bool = False,
               vs_baseline: float = BASELINE_MOVES_PER_SEC,
               trace_dir: str = None, repeats: int = 3,
-              int8_skip: str = "f32") -> dict:
+              int8_skip: str = "f32", int8t_tile: int = 8) -> dict:
     """Lockstep self-play throughput (configs #2/#3/#4 shapes).
 
     ``infer`` picks the search-time forward: "f32" exact apply (default —
@@ -117,6 +118,11 @@ def run_bench(batch_games: int = 256, n_simulations: int = 400,
     elif infer == "int8":
         from alphazero_gomoku_tpu.ops.int8_net import make_int8_eval_fn
         eval_fn = make_int8_eval_fn(model.cfg)
+    elif infer == "int8t":
+        from alphazero_gomoku_tpu.ops.int8_tower import (
+            make_int8_tower_eval_fn,
+        )
+        eval_fn = make_int8_tower_eval_fn(model.cfg, tile=int8t_tile)
     else:
         eval_fn = make_eval_fn(model.cfg)
     cfg = SelfPlayConfig(
@@ -138,13 +144,18 @@ def run_bench(batch_games: int = 256, n_simulations: int = 400,
     elif infer == "bf16":
         from alphazero_gomoku_tpu.ops.fused_net import fold_bn_xla
         bundle = fold_bn_xla(model.cfg, model.params, model.batch_stats)
-    elif infer == "int8":
+    elif infer in ("int8", "int8t"):
         from alphazero_gomoku_tpu.ops.int8_net import (quantize_int8,
                                                        random_calib_obs)
         cin = env.encode(env.init()).shape[-1]
         bundle = quantize_int8(model.cfg, model.params, model.batch_stats,
                                random_calib_obs(model.cfg, cin=cin),
                                residual=int8_skip)
+        if infer == "int8t":
+            from alphazero_gomoku_tpu.ops.int8_tower import (
+                pack_tower_bundle,
+            )
+            bundle = pack_tower_bundle(model.cfg, bundle)
     else:
         bundle = bundle_of(model)
 
@@ -378,7 +389,7 @@ if __name__ == "__main__":
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--sims", type=int, default=400)
     ap.add_argument("--infer", default="int8",
-                    choices=["f32", "bf16", "fused", "int8"],
+                    choices=["f32", "bf16", "fused", "int8", "int8t"],
                     help="int8 (default): bias-corrected per-channel "
                     "quantized inference - 497 moves/s at batch 256 vs "
                     "371 f32; strength-neutral WITH THE f32 SKIP TRACK "
@@ -391,6 +402,9 @@ if __name__ == "__main__":
                     "bf16 halves the f32 epilogue stream at "
                     "f32-equivalent accuracy; int8 is fastest but costs "
                     "top-1 agreement (ops/int8_net.py docstring)")
+    ap.add_argument("--int8t-tile", type=int, default=8,
+                    help="games per kernel instance for --infer int8t "
+                    "(the fused whole-tower Pallas kernel)")
     ap.add_argument("--backend", default="pallas", choices=["xla", "pallas"])
     ap.add_argument("--blocks", type=int, default=6)
     ap.add_argument("--channels", type=int, default=128)
@@ -419,4 +433,5 @@ if __name__ == "__main__":
             game=a.game, measure_moves=a.moves, leaves_per_sim=a.kleaf,
             search=a.search, gumbel_parallel=a.gumbel_parallel,
             trace_dir=a.trace, int8_skip=a.int8_skip,
+            int8t_tile=a.int8t_tile,
         )))

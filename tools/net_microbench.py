@@ -45,6 +45,8 @@ def main(argv=None):
     ap.add_argument("--iters", type=int, default=200)
     ap.add_argument("--blocks", type=int, default=6)
     ap.add_argument("--channels", type=int, default=128)
+    ap.add_argument("--only", default=None,
+                    help="substring filter on mode names")
     args = ap.parse_args(argv)
 
     from alphazero_gomoku_tpu.models import AZModel
@@ -78,6 +80,16 @@ def main(argv=None):
             return jax.nn.softmax(logits, -1), value
         return fn
 
+    from alphazero_gomoku_tpu.ops.int8_tower import (
+        int8_tower_apply, pack_tower_bundle)
+    packed = pack_tower_bundle(cfg, q8["f32"])
+
+    def int8t(tile):
+        def fn(obs):
+            logits, value = int8_tower_apply(cfg, packed, tile, obs)
+            return jax.nn.softmax(logits, -1), value
+        return fn
+
     modes = {
         "exact_f32": exact,
         "folded_f32": lambda obs: folded_xla_apply(cfg, folded_f32, obs),
@@ -85,6 +97,9 @@ def main(argv=None):
         "int8_skipf32": int8(q8["f32"]),
         "int8_skipbf16": int8(q8["bf16"]),
         "int8_skipint8": int8(q8["int8"]),
+        "int8_tower_t8": int8t(8),
+        "int8_tower_t16": int8t(16),
+        "int8_tower_t32": int8t(32),
     }
 
     results = {}
@@ -93,11 +108,18 @@ def main(argv=None):
         obs = jnp.asarray(
             rng.integers(0, 2, (b, 15, 15, 3)).astype(np.float32))
         for name, fn in modes.items():
-            run = chained_timer(fn, obs, args.iters)
-            float(run(obs))  # compile + warm, true sync via value fetch
-            t0 = time.time()
-            float(run(obs))
-            dt = time.time() - t0
+            if args.only and args.only not in name:
+                continue
+            try:
+                run = chained_timer(fn, obs, args.iters)
+                float(run(obs))  # compile + warm, true sync via value fetch
+                t0 = time.time()
+                float(run(obs))
+                dt = time.time() - t0
+            except Exception as e:  # e.g. VMEM overflow at a large tile
+                print(json.dumps({"mode": name, "batch": b,
+                                  "error": str(e)[:200]}), flush=True)
+                continue
             ms = dt / args.iters * 1e3
             results[f"{name}_b{b}"] = round(ms, 4)
             print(json.dumps({"mode": name, "batch": b,
