@@ -101,8 +101,8 @@ def _vmem_limit(tile: int, seg: int) -> int:
     (the backup delta masks), capped well under the physical limit.
     """
     scratch = tile * GROUP * seg * 4
-    # x8: up to 4 row buffers (3 pipeline + compose in the backup kernel)
-    # plus headroom for the hop body's tile-shaped temporaries
+    # x8: row + compose buffers in the backup kernel plus headroom for
+    # the hop body's tile-shaped temporaries
     return min(int(scratch * 8) + 16 * 1024 * 1024, 112 * 1024 * 1024)
 
 
@@ -542,19 +542,23 @@ def _backup_kernel_serial(layout: PackedLayout, mode: str,
                    packed_in, pnodes_ref, pacts_ref, plen_ref, values_ref,
                    expanding_ref, priors_ref, done_ref, slot_ref,
                    packed_out, rows_vmem, hopnodes_vmem, sems):
-    """Round-3 serial hop replay — the SHIPPED default.
+    """Serial hop replay — the shipped (and only) backup kernel.
 
-    The triple-buffered pipeline below (`_backup_kernel`) overlaps hop
-    i+1's reads with hop i's compute, but its x3-unrolled loop pads the
-    hop count to a multiple of 3 with park-tile replays; at production
-    path lengths (~3-6 hops at gumbel@64 / puct@400 self-play) the
-    surplus hops cost more than the overlap buys: end-to-end device A/B
-    measured 506.8 (pipeline) vs ~536 (serial) moves/s on bench config
-    #3 and 3357.9 vs 3626.3 on config #6 (round 4, runs/bench_r4_probe
-    .log).  The pipeline stays selectable via AZG_BACKUP_PIPELINE=1 /
-    ``backup_paths(pipeline=True)`` for long-walk workloads and future
-    tuning; both variants are bit-exact vs the XLA search on device
-    (tools/device_parity.py).
+    A triple-buffered DMA pipeline variant existed in round 4 (hop i+1's
+    reads started before hop i's compute, write-backs waited two hops
+    later) but its x3-unrolled loop pads the hop count to a multiple of
+    3 with park-tile replays; at production path lengths (~3-6 hops at
+    gumbel@64 / puct@400 self-play) the surplus hops cost more than the
+    overlap buys: end-to-end device A/B measured 506.8 (pipeline) vs
+    ~536 (serial) moves/s on bench config #3 and 3357.9 vs 3626.3 on
+    config #6 (round 4, runs/bench_r4_probe.log).  It was DELETED in
+    round 5 (VERDICT #7): two rounds produced no workload where it wins,
+    and keeping ~1k lines bit-exact in two variants is pure maintenance
+    surface.  The Mosaic lessons it taught (unconditional DMAs only,
+    Python-constant VMEM offsets, 2 KB sflag budget) live on in
+    DECISIONS round 4 and tests/test_mosaic_lowering.py; the code is in
+    git history (commit ac8449e and ancestors) if a long-walk workload
+    ever materializes.
     """
     s = layout.seg
     b = rows_vmem.shape[0]
@@ -719,344 +723,15 @@ def _backup_kernel_serial(layout: PackedLayout, mode: str,
 
 
 
-def _backup_kernel(layout: PackedLayout, mode: str,
-                   packed_in, pnodes_ref, pacts_ref, plen_ref, values_ref,
-                   expanding_ref, priors_ref, done_ref, slot_ref,
-                   packed_out, rows_vmem, cbuf_vmem, hopnodes_vmem,
-                   rsems, wsems, csems):
-    """Triple-buffered path replay (round 4, ROADMAP #6).
-
-    The hop-``i`` read-modify-write is pipelined over THREE row buffers
-    (``rows_vmem`` is ``[3 * tile, GROUP, seg]``; buffer ``i % 3`` owns
-    hop ``i``): hop ``i+1``'s node reads are started BEFORE hop ``i``'s
-    compute (the path is precomputed, so the addresses need no
-    speculation), and hop ``i``'s write-back is only waited two hops
-    later, when its buffer is about to be reused.  Per iteration:
-
-      1. wait W[i-2]            (buffer (i+1) % 3 is about to be reused)
-      2. start R[i+1] there     (overlaps this hop's compute + write)
-      3. wait R[i]; compute; start W[i]   (W overlaps the next hop)
-
-    Safety: a lane's path nodes are DISTINCT tree nodes (it is a root-to-
-    leaf walk) and never include the freshly composed slot tile, and each
-    lane only ever touches its own ``lane0 + k`` row of ``packed`` — so
-    an in-flight W[i] can never race R[i+1]/R[i+2] on the same bytes.
-    Lanes whose path is shorter than the tile's longest replay their
-    surplus hops against the RESERVED park tile (node ``capacity - 1``,
-    never a slot — MCTSConfig.node_capacity) so those parked
-    read-modify-writes can never race the root's real hop-0 update.
-    Every DMA is UNCONDITIONAL — Mosaic does not reliably honor pl.when
-    around DMA start/wait (probed round 4; conditional variants
-    deadlocked) — so the pipeline's edges are squared off with two
-    dummy pre-started park writes (standing in for W[-2]/W[-1]) and one
-    drained read (R[L_pad], staged off a -1 pad row backup_paths
-    appends, waited in the epilogue, data discarded).  The loop is
-    UNROLLED x3 (hop count padded to L_pad = ceil(max_len / 3) * 3 with
-    harmless park hops) so every buffer offset is a Python constant:
-    Mosaic cannot lower VMEM loads at traced offsets ("Too many leaves
-    for PyTreeDef", device-probed round 4).
-    """
-    s = layout.seg
-    b = cbuf_vmem.shape[0]
-    iota_s = jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
-    iota_sub = jax.lax.broadcasted_iota(jnp.int32, (1, GROUP, 1), 1)
-    sub_n = (iota_sub == SL_N).astype(jnp.float32)
-    sub_w = (iota_sub == SL_W).astype(jnp.float32)
-    sub_p = (iota_sub == SL_P).astype(jnp.float32)
-    sub_c = (iota_sub == SL_C).astype(jnp.float32)
-    sub_m = (iota_sub == SL_META).astype(jnp.float32)
-
-    plen = plen_ref[:]          # [B, 1] i32
-    values = values_ref[:]      # [B, 1] f32
-    expanding = expanding_ref[:] == 1
-    slot = slot_ref[0, 0]
-    max_len = jnp.max(plen)
-    lane0 = pl.program_id(0) * b  # absolute lane of this tile's first row
-
-    # ---- compose the fresh slot tile in VMEM ---------------------------
-    # Writing it here (instead of an XLA dynamic-update-slice in the scan
-    # body) keeps the packed tree untouched by any XLA op between the
-    # custom-calls: XLA's layout assignment otherwise puts the row
-    # compose/update cluster in a node-major layout and inserts a
-    # full-tree relayout copy PER SIMULATION — measured 0.37 ms/sim at
-    # 64x408x1152, >30% of the whole simulation (round-3 device trace).
-    # In the node-as-group layout nothing shares the slot's tile, so in
-    # "backup"/"vl" mode (fresh slot: zero stats, children -1 from the
-    # per-move init) the compose is a PURE WRITE — no read DMA.  In
-    # "finalize" mode later vl sims of the same macro step may already
-    # have visited/expanded the slot node, so N/W/C are preserved via a
-    # read-modify-write.  Orphan (non-expanding) lanes get the tile too,
-    # matching the XLA glue's unconditional write — nothing links to them.
-    n_max = layout.n_nodes - 1
-    sg = _group_base(slot, n_max)
-
-    iota_col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s), 2)
-    col0 = (iota_col == 0).astype(jnp.float32)
-    col1 = (iota_col == 1).astype(jnp.float32)
-    dn = done_ref[:]                                     # [B, 1]
-    meta3 = dn[:, :, None] * col0 + values[:, :, None] * col1   # [B,1,S]
-    pri3 = priors_ref[:][:, None, :]                     # [B, 1, S]
-
-    if mode == "finalize":
-        def cstart(k, _):
-            pltpu.make_async_copy(
-                packed_out.at[lane0 + k, pl.ds(sg, GROUP), :],
-                cbuf_vmem.at[k], csems.at[0],
-            ).start()
-            return 0
-        jax.lax.fori_loop(0, b, cstart, 0)
-
-        def cwait(k, _):
-            pltpu.make_async_copy(
-                packed_out.at[lane0 + k, pl.ds(sg, GROUP), :],
-                cbuf_vmem.at[k], csems.at[0],
-            ).wait()
-            return 0
-        jax.lax.fori_loop(0, b, cwait, 0)
-        groups0 = cbuf_vmem[:]
-        keep = 1.0 - sub_p - sub_m
-        cbuf_vmem[:] = groups0 * keep + sub_p * pri3 + sub_m * meta3
-    else:
-        cbuf_vmem[:] = sub_p * pri3 + sub_c * (-1.0) + sub_m * meta3
-
-    # slot write-back: started here, waited in the epilogue — the path
-    # replay below never touches the slot tile, so it can stay in flight
-    # under the whole loop
-    def cwb_start(k, _):
-        pltpu.make_async_copy(
-            cbuf_vmem.at[k], packed_out.at[lane0 + k, pl.ds(sg, GROUP), :],
-            csems.at[0],
-        ).start()
-        return 0
-    jax.lax.fori_loop(0, b, cwb_start, 0)
-
-    def park_base(node):
-        """Group base for a hop: real node, or the PARK tile when -1.
-
-        Lanes whose path is shorter than the tile's longest hold a -1 in
-        the path row (select writes -1 for non-recording lanes).  Their
-        surplus hops replay against the RESERVED park node ``n_max`` (=
-        ``node_capacity - 1``; never a slot, never linked — see
-        MCTSConfig.node_capacity): the read-modify-write of a tile
-        nothing else touches is harmless, whereas the old clamp-to-root
-        would RACE the root's real hop-0 update once reads are
-        prefetched.  (Predicating the DMAs off instead is not an option:
-        Mosaic does not honor pl.when around DMA start/wait — probed on
-        device, round 4.)
-        """
-        return _group_base(jnp.where(node < 0, n_max, node), n_max)
-
-    def stage_and_start_reads(i, c):
-        """Stage hop i's node column into buffer ``c`` (i % 3, passed as a
-        PYTHON int) and start its reads.
-
-        Per-lane node indices live as a [B, 1] column per buffer: scalar
-        VMEM reads need a sublane index (dynamic lane offsets are not
-        addressable), so the DMA loops read hopnodes_vmem[base + k, 0].
-        The buffer base ``c * b`` must be STATIC: Mosaic cannot lower
-        VMEM loads at a traced offset ("Too many leaves for PyTreeDef"
-        in the load lowering rule, device-probed round 4) — hence the
-        3-unrolled loop below instead of a ``(i % 3) * b`` rotation.
-        """
-        buf = c * b
-        hop_nodes = jnp.reshape(pnodes_ref[pl.ds(i, 1), :], (b, 1))
-        hopnodes_vmem[pl.ds(buf, b), :] = hop_nodes
-
-        def start(k, _):
-            g = park_base(hopnodes_vmem[buf + k, 0])
-            pltpu.make_async_copy(
-                packed_out.at[lane0 + k, pl.ds(g, GROUP), :],
-                rows_vmem.at[buf + k], rsems.at[c],
-            ).start()
-            return 0
-        jax.lax.fori_loop(0, b, start, 0)
-
-    # pipeline prologue — EVERY DMA in this kernel is unconditional
-    # (Mosaic does not reliably honor pl.when around DMA start/wait;
-    # conditional variants deadlocked on device).  Instead:
-    #   - hopnodes init to -1 = "park" so un-staged buffers address the
-    #     park tile;
-    #   - buffers 1 and 2 get DUMMY pre-started writes to the park tile
-    #     standing in for W[-2]/W[-1], so the loop's wait W[i-2] always
-    #     has a matching start;
-    #   - one -1 row is appended to the path array (see backup_paths) so
-    #     the loop's unconditional R[i+1] prefetch has a row to stage at
-    #     the last iteration; the drained read's data is never used.
-    # NB: the prologue stages row 0 with a PYTHON-int index — a jnp
-    # constant scalar as a pl.ds start fails Mosaic lowering outright
-    # ("Too many leaves for PyTreeDef"; probed round 4), while loop-
-    # carried tracers and Python ints both lower fine
-    hopnodes_vmem[:] = jnp.full_like(hopnodes_vmem, -1)
-    stage_and_start_reads(0, 0)
-
-    park_g = n_max * GROUP
-    def dummy_wstart(c):
-        def go(k, _):
-            pltpu.make_async_copy(
-                rows_vmem.at[c * b + k],
-                packed_out.at[lane0 + k, pl.ds(park_g, GROUP), :],
-                wsems.at[c],
-            ).start()
-            return 0
-        jax.lax.fori_loop(0, b, go, 0)
-    dummy_wstart(1)        # W[-2] on buffer 1
-    dummy_wstart(2)        # W[-1] on buffer 2
-
-    def wait_writes_buf(c):
-        """Wait the outstanding write-back on buffer ``c`` (a PYTHON int;
-        addresses from the hopnodes column that buffer's start used —
-        park for dummies/unstaged)."""
-        buf = c * b
-
-        def wwait(k, _):
-            g = park_base(hopnodes_vmem[buf + k, 0])
-            pltpu.make_async_copy(
-                rows_vmem.at[buf + k],
-                packed_out.at[lane0 + k, pl.ds(g, GROUP), :],
-                wsems.at[c],
-            ).wait()
-            return 0
-        jax.lax.fori_loop(0, b, wwait, 0)
-
-    def hop(i, c):
-        """One pipelined hop: i is the traced hop number, c == i % 3 as a
-        PYTHON int (static buffer selector — see stage_and_start_reads)."""
-        buf = c * b
-
-        # 1. the buffer hop i+1 needs is the one hop i-2 (or its dummy
-        # stand-in) wrote from
-        wait_writes_buf((c + 1) % 3)
-
-        # 2. prefetch hop i+1's tiles (overlaps this hop's compute+write)
-        stage_and_start_reads(i + 1, (c + 1) % 3)
-
-        # 3. wait this hop's reads
-        def rwait(k, _):
-            g = park_base(hopnodes_vmem[buf + k, 0])
-            pltpu.make_async_copy(
-                packed_out.at[lane0 + k, pl.ds(g, GROUP), :],
-                rows_vmem.at[buf + k], rsems.at[c],
-            ).wait()
-            return 0
-        jax.lax.fori_loop(0, b, rwait, 0)
-
-        groups = rows_vmem[pl.ds(buf, b)]   # [B, GROUP, seg]
-        acts = jnp.reshape(pacts_ref[pl.ds(i, 1), :], (b, 1))
-        active_f = (i < plen).astype(jnp.float32)       # [B, 1]
-        # masks as f32 throughout: Mosaic cannot broadcast i1 vectors into
-        # a new minor dim, 32-bit types only
-        onehot_f = (iota_s == acts).astype(jnp.float32) * active_f  # [B, S]
-        oh3 = onehot_f[:, None, :]                      # [B, 1, S]
-
-        # v at edge i (0 = root edge) is value * (-1)^(L - i): the leaf sits
-        # L hops below, and perspective flips once per hop up
-        # (tree._apply_eval_and_backup)
-        parity = jnp.bitwise_and(plen - i, 1) == 1
-        v = jnp.where(parity, -values, values)          # [B, 1]
-        v3 = v[:, :, None]                              # [B, 1, 1]
-
-        if mode == "backup":       # one-shot backup: N+1, W += v_flipped
-            delta = oh3 * (sub_n + sub_w * v3)
-        elif mode == "vl":         # virtual loss: N+1, W-1, NO flip
-            delta = oh3 * (sub_n - sub_w)
-        elif mode == "finalize":   # replace VL: W += v_flipped + 1, N as-is
-            delta = oh3 * (sub_w * (v3 + 1.0))
-        else:
-            raise ValueError(f"unknown backup mode: {mode!r}")
-        new = groups + delta
-
-        # expansion edge (the path's last hop of an expanding lane) links
-        # the fresh slot into the children sublane
-        is_exp_f = (jnp.logical_and(expanding, i == plen - 1)
-                    .astype(jnp.float32))               # [B, 1]
-        set_c = oh3 * sub_c * is_exp_f[:, :, None]
-        new = jnp.where(set_c > 0.5, slot.astype(jnp.float32), new)
-        rows_vmem[pl.ds(buf, b)] = new
-
-        # 4. start this hop's write-backs; waited when the buffer is
-        # about to be reused (hop i+2's step 1) or in the epilogue
-        def wstart(k, _):
-            g = park_base(hopnodes_vmem[buf + k, 0])
-            pltpu.make_async_copy(
-                rows_vmem.at[buf + k],
-                packed_out.at[lane0 + k, pl.ds(g, GROUP), :],
-                wsems.at[c],
-            ).start()
-            return 0
-        jax.lax.fori_loop(0, b, wstart, 0)
-
-    # the loop is UNROLLED x3 so every buffer index is a Python constant;
-    # the hop count rounds up to a multiple of 3 — the <= 2 surplus hops
-    # stage -1 pad path rows and replay harmlessly against the park tile
-    # exactly like short-lane hops (backup_paths appends 3 pad rows)
-    def cond(carry):
-        return 3 * carry < max_len
-
-    def body(j):
-        i = 3 * j
-        hop(i, 0)
-        hop(i + 1, 1)
-        hop(i + 2, 2)
-        return j + 1
-
-    jax.lax.while_loop(cond, body, jnp.int32(0))
-
-    # epilogue: exactly three DMAs are still outstanding on the hop
-    # buffers — the drained read R[L_pad] (always buffer 0: L_pad % 3 ==
-    # 0; its data is unused) and the writes on buffers 1 and 2 (real
-    # W[L_pad-2]/W[L_pad-1], or their park-tile dummies when L == 0) —
-    # plus the slot-tile write
-    def drain_rwait(k, _):
-        g = park_base(hopnodes_vmem[k, 0])
-        pltpu.make_async_copy(
-            packed_out.at[lane0 + k, pl.ds(g, GROUP), :],
-            rows_vmem.at[k], rsems.at[0],
-        ).wait()
-        return 0
-    jax.lax.fori_loop(0, b, drain_rwait, 0)
-
-    wait_writes_buf(1)
-    wait_writes_buf(2)
-
-    def cwb_wait(k, _):
-        pltpu.make_async_copy(
-            cbuf_vmem.at[k], packed_out.at[lane0 + k, pl.ds(sg, GROUP), :],
-            csems.at[0],
-        ).wait()
-        return 0
-    jax.lax.fori_loop(0, b, cwb_wait, 0)
-
-
+@functools.partial(jax.jit, static_argnames=("layout", "interpret",
+                                             "mode"))
 def backup_paths(packed: jax.Array, path_nodes: jax.Array,
                  path_actions: jax.Array, path_len: jax.Array,
                  values: jax.Array, expanding: jax.Array, slot: jax.Array,
                  layout: PackedLayout,
                  signed_priors: jax.Array, done: jax.Array,
-                 interpret: bool = False, mode: str = "backup",
-                 pipeline: bool = None) -> jax.Array:
-    """Thin dispatcher: resolve ``pipeline=None`` from the environment
-    OUTSIDE the jit so the static cache key is always a concrete bool
-    (flipping ``AZG_BACKUP_PIPELINE`` mid-process is honored for direct
-    calls rather than frozen at first trace; calls from inside an outer
-    jitted search still resolve at that outer function's trace time).
-    See :func:`_backup_paths_jit` for semantics."""
-    if pipeline is None:
-        pipeline = os.environ.get("AZG_BACKUP_PIPELINE", "0") == "1"
-    return _backup_paths_jit(packed, path_nodes, path_actions, path_len,
-                             values, expanding, slot, layout,
-                             signed_priors, done, interpret, mode,
-                             pipeline)
-
-
-@functools.partial(jax.jit, static_argnames=("layout", "interpret", "mode",
-                                             "pipeline"))
-def _backup_paths_jit(packed: jax.Array, path_nodes: jax.Array,
-                      path_actions: jax.Array, path_len: jax.Array,
-                      values: jax.Array, expanding: jax.Array,
-                      slot: jax.Array, layout: PackedLayout,
-                      signed_priors: jax.Array, done: jax.Array,
-                      interpret: bool = False, mode: str = "backup",
-                      pipeline: bool = False) -> jax.Array:
+                 interpret: bool = False, mode: str = "backup"
+                 ) -> jax.Array:
     """Write the fresh slot tile, then apply one simulation's backup.
 
     In-place on ``packed`` (aliased); returns the updated array.  ``slot``
@@ -1088,77 +763,10 @@ def _backup_paths_jit(packed: jax.Array, path_nodes: jax.Array,
         # illegal (-1) and are never consumed by the walk kernels
         signed_priors = jnp.pad(signed_priors, ((0, 0), (0, s - a)),
                                 constant_values=-1.0)
-    if not pipeline:
-        return _backup_paths_serial(packed, path_nodes, path_actions,
-                                    path_len, values, expanding, slot,
-                                    layout, signed_priors, done,
-                                    interpret, mode, tile, n_tiles)
-    d = path_nodes.shape[0]
-    # three -1 ("park") rows under the paths: the pipelined kernel runs
-    # ceil(max_len / 3) * 3 hops (3-unrolled loop, static buffer
-    # indices) and its unconditional R[i+1] prefetch stages one row past
-    # that — worst case row max_len + 2; -1 routes all surplus hops'
-    # reads to the reserved park tile
-    path_nodes = jnp.pad(path_nodes, ((0, 3), (0, 0)),
-                         constant_values=-1)
-    # actions padded alike: surplus hops READ their action row (the
-    # compute is masked off by ``i < plen``, but the load must be in
-    # bounds)
-    path_actions = jnp.pad(path_actions, ((0, 3), (0, 0)))
-    kernel = functools.partial(_backup_kernel, layout, mode)
-    return pl.pallas_call(
-        kernel,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),    # packed (aliased)
-            pl.BlockSpec((d + 3, tile), lambda t: (0, t),
-                         memory_space=pltpu.VMEM),   # path nodes (+park rows)
-            pl.BlockSpec((d + 3, tile), lambda t: (0, t),
-                         memory_space=pltpu.VMEM),   # path actions (+pad)
-            pl.BlockSpec((tile, 1), lambda t: (t, 0),
-                         memory_space=pltpu.VMEM),   # path len
-            pl.BlockSpec((tile, 1), lambda t: (t, 0),
-                         memory_space=pltpu.VMEM),   # values
-            pl.BlockSpec((tile, 1), lambda t: (t, 0),
-                         memory_space=pltpu.VMEM),   # expanding
-            pl.BlockSpec((tile, s), lambda t: (t, 0),
-                         memory_space=pltpu.VMEM),   # slot-tile priors
-            pl.BlockSpec((tile, 1), lambda t: (t, 0),
-                         memory_space=pltpu.VMEM),   # slot-tile done flag
-            pl.BlockSpec((1, 1), lambda t: (0, 0),
-                         memory_space=pltpu.SMEM),   # slot
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
-        out_shape=jax.ShapeDtypeStruct(packed.shape, packed.dtype),
-        scratch_shapes=[
-            # 3 pipeline row buffers + the slot-compose buffer; ONE DMA
-            # semaphore per pipeline buffer (+1 for the slot tile), NOT
-            # per lane: a buffer is always barriered across all of its
-            # lanes before reuse, so per-lane semaphores add no ordering
-            # — and the sflag memory space that holds semaphores is only
-            # 2 KB, which 3x-tile per-lane arrays overflow at tile 64+
-            # ("Ran out of memory in memory space sflag", round-4 device
-            # compile).  b starts on one semaphore then b waits is the
-            # standard Pallas multi-copy barrier.
-            pltpu.VMEM((3 * tile, GROUP, layout.seg), jnp.float32),
-            pltpu.VMEM((tile, GROUP, layout.seg), jnp.float32),
-            pltpu.VMEM((3 * tile, 1), jnp.int32),
-            pltpu.SemaphoreType.DMA((3,)),
-            pltpu.SemaphoreType.DMA((3,)),
-            pltpu.SemaphoreType.DMA((1,)),
-        ],
-        input_output_aliases={0: 0},
-        compiler_params=pltpu.CompilerParams(
-            has_side_effects=True,
-            vmem_limit_bytes=_vmem_limit(tile, layout.seg)),
-        interpret=interpret,
-    )(packed, path_nodes, path_actions,
-      path_len.reshape(b, 1).astype(jnp.int32),
-      values.reshape(b, 1).astype(jnp.float32),
-      expanding.reshape(b, 1).astype(jnp.int32),
-      signed_priors.astype(jnp.float32),
-      done.reshape(b, 1).astype(jnp.float32),
-      jnp.asarray(slot, jnp.int32).reshape(1, 1))
+    return _backup_paths_serial(packed, path_nodes, path_actions,
+                                path_len, values, expanding, slot,
+                                layout, signed_priors, done,
+                                interpret, mode, tile, n_tiles)
 
 
 def _backup_paths_serial(packed, path_nodes, path_actions, path_len,

@@ -182,12 +182,11 @@ class MCTSConfig:
         # with reuse, slots [0, reuse_budget) hold the compacted carry-over
         # subtree and fresh simulations allocate from reuse_budget upward.
         # +2 (round 4): one slot beyond the last simulation's is RESERVED
-        # as the packed backup kernel's "park" tile — lanes whose path is
-        # shorter than the tile's longest replay their surplus hops
-        # against it (reads/writes of a tile nothing else ever touches),
-        # which is what makes the kernel's triple-buffered DMA pipeline
-        # race-free without per-lane DMA predication (which Mosaic does
-        # not honor).  See ops/tree_kernels._backup_kernel.
+        # as the packed kernels' DMA-guard ("park") tile — path rows of
+        # -1 (lanes shorter than the tile's longest, depth-capped stops)
+        # route their unconditional DMAs to a tile nothing else ever
+        # touches, because Mosaic does not honor per-lane DMA predication
+        # (pl.when around copies).  See ops/tree_kernels._group_base.
         floor = self.n_simulations + 2 + self.reuse_budget
         cap = self.max_nodes or floor
         if cap < floor:

@@ -70,8 +70,7 @@ def test_gumbel_walk_lowers(layout, packed):
 
 
 @pytest.mark.parametrize("mode", ["backup", "vl", "finalize"])
-@pytest.mark.parametrize("pipeline", [False, True])
-def test_backup_paths_lowers(layout, packed, mode, pipeline):
+def test_backup_paths_lowers(layout, packed, mode):
     b = packed.shape[0]
     d = 8
     lower_for_tpu(
@@ -81,7 +80,7 @@ def test_backup_paths_lowers(layout, packed, mode, pipeline):
             jnp.full((b,), 2, jnp.int32), jnp.full((b,), 0.25, jnp.float32),
             jnp.ones((b,), jnp.int32), jnp.int32(5), layout,
             jnp.full((b, A), 0.1, jnp.float32), jnp.zeros((b,), jnp.float32),
-            mode=mode, pipeline=pipeline),
+            mode=mode),
         packed)
 
 

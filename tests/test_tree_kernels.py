@@ -191,46 +191,3 @@ def test_lane_tile_override_is_bit_identical(monkeypatch):
         np.testing.assert_array_equal(x, y)
 
 
-@pytest.mark.parametrize("mode", ["backup", "vl", "finalize"])
-def test_backup_serial_equals_pipeline(mode):
-    """The serial (default) and triple-buffered (AZG_BACKUP_PIPELINE=1)
-    backup kernels are interchangeable: same results on random paths,
-    short lanes, non-expanding lanes, and every k-leaf mode."""
-    import numpy as np
-    from alphazero_gomoku_tpu.ops import tree_kernels as tk
-
-    rng = np.random.default_rng(3)
-    layout = tk.packed_layout(A, 24)
-    b, d = 8, 6
-    packed = jnp.asarray(
-        rng.normal(size=(b, layout.n_nodes * tk.GROUP, layout.seg))
-        .astype(np.float32))
-    plen_np = rng.integers(0, d, size=(b,))
-    # walk contract: a lane's path nodes are DISTINCT (root-to-leaf
-    # walks never revisit a node) — the pipeline's prefetch safety
-    # argument rests on it, and violating it legitimately diverges
-    pnodes_np = np.stack(
-        [rng.permutation(20)[:d] for _ in range(b)], axis=1)
-    # select-kernel contract: rows beyond a lane's path length hold -1
-    # (the pipeline replays them against the reserved park tile)
-    pnodes_np[np.arange(d)[:, None] >= plen_np[None, :]] = -1
-    plen = jnp.asarray(plen_np, jnp.int32)
-    pnodes = jnp.asarray(pnodes_np, jnp.int32)
-    pacts = jnp.asarray(rng.integers(0, A, size=(d, b)), jnp.int32)
-    vals = jnp.asarray(rng.uniform(-1, 1, size=(b,)), jnp.float32)
-    expanding = jnp.asarray(rng.integers(0, 2, size=(b,)), jnp.int32)
-    priors = jnp.asarray(rng.uniform(0, 1, size=(b, A)), jnp.float32)
-    done = jnp.asarray(rng.integers(0, 2, size=(b,)), jnp.float32)
-
-    out_s = tk.backup_paths(packed, pnodes, pacts, plen, vals, expanding,
-                            jnp.int32(21), layout, priors, done,
-                            interpret=True, mode=mode, pipeline=False)
-    out_p = tk.backup_paths(packed, pnodes, pacts, plen, vals, expanding,
-                            jnp.int32(21), layout, priors, done,
-                            interpret=True, mode=mode, pipeline=True)
-    # compare everything except the RESERVED park tile (node n_nodes-1):
-    # the pipeline's edge dummies and surplus hops scribble there by
-    # design, and nothing ever reads it (MCTSConfig.node_capacity)
-    live = (layout.n_nodes - 1) * tk.GROUP
-    np.testing.assert_array_equal(np.asarray(out_s)[:, :live],
-                                  np.asarray(out_p)[:, :live])
