@@ -64,17 +64,16 @@ class MCTSConfig:
     #     across all legal moves and the final argmax degenerates exactly
     #     when one forced block would save the game. Players default to
     #     "parent"; self-play keeps "zero" for reference comparability.
-    #   KNOWN ISSUE (round 2; bisect in progress round 4): "parent" with
-    #     backend="pallas" crashed the TPU worker minutes into LONG runs
-    #     (full-length batch-128 self-play died twice at either depth
-    #     cap; "zero" ran clean, short runs/CPU interpret are fine).
-    #     Round-4 probe (repro/parent_pallas_probe.py, on device):
-    #     parent@cap8 and zero@cap8/56 are CLEAN over 24-move batches —
-    #     depth-capped lanes per se do NOT fault, so the trigger is
-    #     run-length-dependent; the round-4 stale-claim tunnel wedge
-    #     (DECISIONS) is also a candidate explanation for the original
-    #     reports. Until a full-length probe lands, keep training on
-    #     "zero". Engine play uses batch 1 (XLA path) and is unaffected.
+    #   RESOLVED (round 5): the round-2 "parent + pallas crashes minutes
+    #     into long runs" report does NOT reproduce under the round-4
+    #     tunnel-claim discipline: repro/parent_pallas_longrun.py ran
+    #     181,140 moves of continuous parent@cap56 production-shape
+    #     self-play (6x128 net, batch 128, 200 sims, 10 batches, 16.5
+    #     min on device) CLEAN, on top of the round-4 cap-8/cap-56
+    #     probes. The original reports are reclassified as stale-claim
+    #     tunnel wedges (DECISIONS round 4/5). "parent" is safe for
+    #     training; self-play default stays "zero" only for reference
+    #     comparability (/root/reference/mcts/new_mcts_alpha.py:40-47).
     fpu_mode: str = "zero"
     # leaves selected (with virtual loss) per network call, per game.
     # 1 = the reference-exact sequential search.  k>1 selects k leaves
