@@ -1,10 +1,23 @@
 """Fused int8 residual-tower Pallas kernel (TPU MXU, whole tower in VMEM).
 
-The XLA int8 path (:mod:`ops.int8_net`) runs each conv as a separate XLA
-op: every inter-layer activation round-trips HBM (int8 tensors plus the
-f32 skip stream) and every requant epilogue is a separate fusion.  At the
-production shape the end-to-end forward sits ~2.5x from the int8
-speed-of-light line (BASELINE.md roofline; VERDICT r4 #1 lever b).
+**Measured verdict (round 5): a DEAD END on this Mosaic/libtpu pair —
+4.3x slower than the XLA int8 path on device** (2.47 vs 0.57 ms/eval at
+batch 128, runs/int8t_microbench.log; the tile-16 variant additionally
+hung the Mosaic backend compile).  The kernel's dataflow — 9
+accumulating [G*Q, C] x [C, C] dots per conv, 13 data-dependent convs —
+is a chain of dependent small-K matmuls that runs MXU-latency-bound,
+while XLA's conv path gets K=1152 im2col matmuls plus inter-op
+parallelism (DECISIONS round 5; tools/mosaic_matmul_rate.py).  Kept
+in-tree as a tested, bit-exact boundary probe and NOT the default: it
+documents where hand-fused small-spatial conv towers lose to XLA's conv
+fusion on TPU.
+
+The premise it tested: the XLA int8 path (:mod:`ops.int8_net`) runs
+each conv as a separate XLA op — every inter-layer activation
+round-trips HBM (int8 tensors plus the f32 skip stream) and every
+requant epilogue is a separate fusion.  At the production shape the
+end-to-end forward sits ~2x from the int8 speed-of-light line
+(BASELINE.md roofline; VERDICT r4 #1 lever b).
 
 This kernel keeps the ENTIRE residual tower resident on-chip:
 

@@ -404,7 +404,9 @@ if __name__ == "__main__":
                     "top-1 agreement (ops/int8_net.py docstring)")
     ap.add_argument("--int8t-tile", type=int, default=8,
                     help="games per kernel instance for --infer int8t "
-                    "(the fused whole-tower Pallas kernel)")
+                    "(the fused whole-tower Pallas kernel; measured 4.3x "
+                    "SLOWER than --infer int8 on device — kept as a "
+                    "bit-exact boundary probe, see DECISIONS round 5)")
     ap.add_argument("--backend", default="pallas", choices=["xla", "pallas"])
     ap.add_argument("--blocks", type=int, default=6)
     ap.add_argument("--channels", type=int, default=128)
