@@ -32,58 +32,80 @@ REPS = 64          # dots per kernel call (chained through acc[0,0])
 CALLS = 20
 
 
-def pallas_rate(in_dtype, acc_dtype, k=K, reps=REPS):
-    """REPS INDEPENDENT dots (distinct row-slices of a larger input, so
-    no CSE and no cross-dot dependence): measures issue rate, not
-    pipeline latency.  The first version of this probe chained the dots
-    through ``acc[0, 0]`` and measured ~2 TF/s for BOTH dtypes — pure
-    MXU drain latency per rep, useless as a rate probe."""
+def pallas_rate(in_dtype, acc_dtype, k, reps, steps):
+    """``steps`` scan iterations inside ONE jitted call, each issuing
+    ``reps`` mutually-independent dots (distinct row-slices; the step's
+    weight carries a zero-valued dependence on the previous step's
+    accumulator so the compiler cannot hoist or collapse steps).
 
-    def kern(x_ref, w_ref, o_ref):
-        w = w_ref[:]
-        acc = jnp.zeros((M, N), acc_dtype)
-        for r in range(reps):
-            x_r = x_ref[r : r + M, :]
-            acc = acc + jnp.dot(x_r, w, preferred_element_type=acc_dtype)
-        o_ref[:] = acc
+    Probe history: v1 chained every dot through ``acc[0, 0]`` (measured
+    MXU drain latency, ~2 TF/s for all dtypes); v2 issued independent
+    dots but timed 20 separate dispatches over the ~170 ms/call axon
+    tunnel (measured the tunnel).  v3 amortizes both: rate is taken
+    from the DELTA between two step counts in the same program shape,
+    cancelling per-call tunnel overhead.
+    """
 
-    @jax.jit
-    def run(x, w):
+    def kern(x_ref, w_ref, s_ref, o_ref):
+        w0 = w_ref[:]
+
+        def body(s, acc):
+            w = w0 + (acc[0, 0] * 0).astype(in_dtype)
+            inner = jnp.zeros((M, N), acc_dtype)
+            for r in range(reps):
+                inner = inner + jnp.dot(x_ref[r : r + M, :], w,
+                                        preferred_element_type=acc_dtype)
+            return inner
+
+        o_ref[:] = jax.lax.fori_loop(0, s_ref[0], body,
+                                     jnp.zeros((M, N), acc_dtype))
+
+    @functools.partial(jax.jit, static_argnums=())
+    def run(x, w, s):
         return pl.pallas_call(
             kern,
             out_shape=jax.ShapeDtypeStruct((M, N), acc_dtype),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+                      pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.SMEM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        )(x, w)
+        )(x, w, s)
 
     return run
 
 
-def xla_rate(in_dtype, acc_dtype, k=K, reps=REPS):
-    """Same independent-slice structure as plain XLA ops (control)."""
+def xla_rate(in_dtype, acc_dtype, k, reps, steps):
+    """Same structure in plain XLA (control)."""
 
     @jax.jit
-    def run(x, w):
-        acc = jnp.zeros((M, N), acc_dtype)
-        for r in range(reps):
-            acc = acc + jnp.dot(x[r : r + M, :], w,
-                                preferred_element_type=acc_dtype)
-        return acc
+    def run(x, w, s):
+        def body(i, acc):
+            wv = w + (acc[0, 0] * 0).astype(in_dtype)
+            inner = jnp.zeros((M, N), acc_dtype)
+            for r in range(reps):
+                inner = inner + jnp.dot(x[r : r + M, :], wv,
+                                        preferred_element_type=acc_dtype)
+            return inner
+        return jax.lax.fori_loop(0, s[0], body,
+                                 jnp.zeros((M, N), acc_dtype))
 
     return run
 
 
-def time_fn(run, x, w, k, reps):
-    out = run(x, w)
-    float(jnp.sum(out.astype(jnp.float32)))  # compile + true sync
-    t0 = time.time()
-    for _ in range(CALLS):
-        out = run(x, w)
-    float(jnp.sum(out.astype(jnp.float32)))
-    dt = time.time() - t0
-    flops = 2.0 * M * k * N * reps * CALLS
-    return flops / dt / 1e12
+def time_fn(run, x, w, k, reps, hi=400, lo=50):
+    s_hi = jnp.asarray([hi], jnp.int32)
+    s_lo = jnp.asarray([lo], jnp.int32)
+    float(jnp.sum(run(x, w, s_hi).astype(jnp.float32)))  # compile+sync
+
+    def t(s):
+        t0 = time.time()
+        float(jnp.sum(run(x, w, s).astype(jnp.float32)))
+        return time.time() - t0
+
+    d_lo = min(t(s_lo), t(s_lo))
+    d_hi = min(t(s_hi), t(s_hi))
+    flops = 2.0 * M * k * N * reps * (hi - lo)
+    return flops / max(d_hi - d_lo, 1e-9) / 1e12
 
 
 def main():
@@ -91,20 +113,20 @@ def main():
     results = {}
     # (k, reps): the tower kernel's per-offset shape (K=128, 9 dots per
     # conv), and the im2col shape (K=1152, one dot per conv)
-    for k, reps in ((K, REPS), (9 * K, 8)):
+    for k, reps in ((K, 9), (9 * K, 4)):
         xi = jnp.asarray(rng.integers(-3, 4, (M + reps, k)), jnp.int8)
         wi = jnp.asarray(rng.integers(-3, 4, (k, N)), jnp.int8)
         xb = jnp.asarray(rng.normal(size=(M + reps, k)), jnp.bfloat16)
         wb = jnp.asarray(rng.normal(size=(k, N)), jnp.bfloat16)
         for name, fn, x, w in [
             (f"pallas_int8_k{k}",
-             pallas_rate(jnp.int8, jnp.int32, k, reps), xi, wi),
+             pallas_rate(jnp.int8, jnp.int32, k, reps, 0), xi, wi),
             (f"pallas_bf16_k{k}",
-             pallas_rate(jnp.bfloat16, jnp.float32, k, reps), xb, wb),
+             pallas_rate(jnp.bfloat16, jnp.float32, k, reps, 0), xb, wb),
             (f"xla_int8_k{k}",
-             xla_rate(jnp.int8, jnp.int32, k, reps), xi, wi),
+             xla_rate(jnp.int8, jnp.int32, k, reps, 0), xi, wi),
             (f"xla_bf16_k{k}",
-             xla_rate(jnp.bfloat16, jnp.float32, k, reps), xb, wb),
+             xla_rate(jnp.bfloat16, jnp.float32, k, reps, 0), xb, wb),
         ]:
             try:
                 tf = time_fn(fn, x, w, k, reps)
@@ -116,7 +138,7 @@ def main():
             print(json.dumps({"mode": name, "tflops": round(tf, 1)}),
                   flush=True)
     print(json.dumps({"summary": results, "m": M, "n": N,
-                      "independent_dots": True}))
+                      "construct": "delta of in-jit fori_loop step counts"}))
     return 0
 
 
