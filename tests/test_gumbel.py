@@ -434,9 +434,11 @@ def test_gumbel_round_parallel_reuse_carry_matches_serial():
     env = GomokuEnv(SIZE)
     states = env.init_batch(8)
     states = jax.vmap(env.step)(states, jnp.arange(8, dtype=jnp.int32) + 18)
+    # floor = n_simulations + 2 + reuse_budget (the +2 gained the
+    # reserved DMA-guard tile in round 4; this test lagged at 23)
     cfg_s = MCTSConfig(n_simulations=16, search="gumbel",
                        gumbel_max_considered=8, add_noise=False,
-                       backend="pallas", reuse_budget=6, max_nodes=23)
+                       backend="pallas", reuse_budget=6, max_nodes=24)
     cfg_p = dataclasses.replace(cfg_s, gumbel_round_parallel=True)
     key1, key2 = jax.random.split(jax.random.PRNGKey(41))
 
