@@ -28,10 +28,15 @@ import numpy as np
 
 
 def cross_arena(env, cfg, eval_a, bundle_a, eval_b, bundle_b,
-                n_games, seed):
+                n_games, seed, cfg_b=None):
+    """``cfg_b`` (default: ``cfg``) lets the two sides search at
+    different budgets — the equal-WALL-CLOCK A/B for a smaller net
+    (e.g. 4x96 @ gumbel@100 vs 6x128 @ gumbel@64 costs the same
+    time per move; see BASELINE.md round-5 addendum)."""
     from alphazero_gomoku_tpu.search.tree import run_mcts_with_q
     from alphazero_gomoku_tpu.selfplay.arena import OPENING_RADIUS, wilson_ci
 
+    cfg_b = cfg_b or cfg
     size = env.size
 
     @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -47,15 +52,16 @@ def cross_arena(env, cfg, eval_a, bundle_a, eval_b, bundle_b,
                                     (r0 * size + c0).astype(jnp.int32))
         zeros = jnp.zeros((n,), jnp.int32)
 
-        def mover(eval_fn, bundle):
+        def mover(side_cfg, eval_fn, bundle):
             def mv(states, key):
-                pi, _ = run_mcts_with_q(env, cfg, eval_fn, bundle, states,
-                                        zeros, key)
+                pi, _ = run_mcts_with_q(env, side_cfg, eval_fn, bundle,
+                                        states, zeros, key)
                 return jax.vmap(env.step_safe)(
                     states, jnp.argmax(pi, -1).astype(jnp.int32))
             return mv
 
-        mv_a, mv_b = mover(eval_a, bundle_a), mover(eval_b, bundle_b)
+        mv_a = mover(cfg, eval_a, bundle_a)
+        mv_b = mover(cfg_b, eval_b, bundle_b)
         mv_p1 = mv_a if a_is_p1 else mv_b
         mv_p2 = mv_b if a_is_p1 else mv_a
         max_pairs = (env.num_actions + 1) // 2
@@ -102,6 +108,9 @@ def main(argv=None):
     ap.add_argument("ckpt_b")
     ap.add_argument("--games", type=int, default=64)
     ap.add_argument("--sims", type=int, default=400)
+    ap.add_argument("--sims-b", type=int, default=None,
+                    help="B's simulation budget (default: --sims); use "
+                         "for equal-wall-clock A/Bs between unequal nets")
     ap.add_argument("--game", default="gomoku")
     ap.add_argument("--size", type=int, default=15)
     ap.add_argument("--search", default="puct", choices=["puct", "gumbel"])
@@ -123,10 +132,16 @@ def main(argv=None):
     cfg = MCTSConfig(n_simulations=args.sims, cpuct=1.0, add_noise=False,
                      max_depth=args.max_depth, backend=args.backend,
                      search=args.search, gumbel_max_considered=args.m)
+    cfg_b = (None if args.sims_b is None else
+             MCTSConfig(n_simulations=args.sims_b, cpuct=1.0,
+                        add_noise=False, max_depth=args.max_depth,
+                        backend=args.backend, search=args.search,
+                        gumbel_max_considered=args.m))
     r = cross_arena(env, cfg, make_eval_fn(ma.cfg), bundle_of(ma),
                     make_eval_fn(mb.cfg), bundle_of(mb),
-                    args.games, args.seed)
+                    args.games, args.seed, cfg_b=cfg_b)
     r.update({"a": args.ckpt_a, "b": args.ckpt_b, "sims": args.sims,
+              "sims_b": args.sims_b or args.sims,
               "search": args.search,
               "arch_a": f"{ma.cfg.n_res_blocks}x{ma.cfg.channels}",
               "arch_b": f"{mb.cfg.n_res_blocks}x{mb.cfg.channels}"})
